@@ -1,0 +1,80 @@
+"""Global configuration & defaults.
+
+TPU-native re-design of the reference's three-tier config system
+(reference: old/ssqueezepy/configs.py:27-147, configs.ini:1-47):
+
+  1. library defaults below (mirrors configs.ini values),
+  2. environment flags (``SSQ_TPU_X64``, ``SSQ_TPU_INTERPRET``),
+  3. per-call kwargs (always win).
+
+Unlike the reference there is no parallelism flag: XLA owns intra-chip
+parallelism, and multi-chip parallelism is explicit via
+``ssqueeze_rs_tpu.parallel`` meshes.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+# -- numeric constants --------------------------------------------------------
+pi = np.pi
+EPS32 = float(np.finfo(np.float32).eps)
+EPS64 = float(np.finfo(np.float64).eps)
+
+# -- library defaults (mirrors reference configs.ini) --------------------------
+DEFAULTS = {
+    # wavelets (reference: configs.ini:5-23)
+    "morlet": {"mu": 13.4},
+    "bump": {"mu": 5.0, "s": 1.0, "om": 0.0},
+    "cmhat": {"mu": 1.0, "s": 1.0},
+    "hhhat": {"mu": 5.0},
+    # gmw (reference: configs.ini:25-31)
+    "gmw": {"gamma": 3.0, "beta": 60.0, "norm": "bandpass", "order": 0},
+    # scales engine (reference: configs.ini:37-39)
+    "make_scales": {"downsample": 4},
+    # default compute dtype (reference: configs.ini:33-35)
+    "dtype": "float32",
+}
+
+
+def use_x64() -> bool:
+    """Whether float64 paths are requested (env flag ``SSQ_TPU_X64=1``).
+
+    float64 on TPU is software-emulated and slow; tests enable it on the CPU
+    backend for exactness checks (reference tolerance tests use float64).
+    """
+    return os.environ.get("SSQ_TPU_X64", "0") == "1"
+
+
+def interpret_mode() -> bool:
+    """Run Pallas kernels in interpreter mode (for CPU tests / debugging)."""
+    import jax
+
+    if os.environ.get("SSQ_TPU_INTERPRET", "") == "1":
+        return True
+    # auto-detect: Pallas TPU kernels only compile on TPU backends
+    return jax.default_backend() not in ("tpu",)
+
+
+def default_dtype():
+    import jax.numpy as jnp
+
+    return jnp.float64 if use_x64() else jnp.float32
+
+
+def complex_dtype(real_dtype):
+    """complex64 for float32, complex128 for float64."""
+    import jax.numpy as jnp
+
+    return jnp.complex128 if jnp.dtype(real_dtype) == jnp.float64 else jnp.complex64
+
+
+def gamma_default(cdtype) -> float:
+    """Default phase-transform threshold: 10 * eps of the real dtype.
+
+    (reference: old/ssqueezepy/_ssq_cwt.py:266-267)
+    """
+    import jax.numpy as jnp
+
+    return 10 * (EPS64 if jnp.dtype(cdtype) == jnp.complex128 else EPS32)

@@ -1,0 +1,55 @@
+"""DFT frequency grids.
+
+The radian DFT grid used throughout the reference, with the analytic-signal
+convention of a *positive* Nyquist bin (reference: old/ssqueezepy/wavelets.py
+``_xifn``, lines 472-483; rust/src/wavelets/base.rs:18-33):
+
+    N=128: [0, 1, ..., 64, -63, ..., -1] * (2*pi/N) * scale
+    N=129: [0, 1, ..., 64, -64, ..., -1] * (2*pi/N) * scale
+
+Note this differs from ``fftfreq`` only in the sign of the Nyquist bin for
+even N.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def xifn(scale, N, xp=None, dtype=None):
+    """Radian frequency grid, `scale * 2*pi*k/N` with positive Nyquist.
+
+    `xp` selects the array backend (numpy for host planning, jax.numpy for
+    traced code). Returns a 1D array of length N.
+    """
+    if xp is None:
+        xp = np
+    if dtype is None:
+        dtype = xp.float64 if xp is np else None
+    i = xp.arange(N)
+    k = xp.where(i <= N // 2, i, i - N)
+    xi = k * (2 * np.pi / N)
+    xi = xi * scale
+    if dtype is not None:
+        xi = xi.astype(dtype)
+    return xi
+
+
+def aifftshift_idx(N):
+    """Analytic ifftshift as an index permutation: moves the left N//2+1 bins
+    to the right (reference: old/ssqueezepy/wavelets.py:950-963). Turns the
+    `xifn` grid into a monotonically ascending -pi..pi grid.
+
+    For odd N equals np.fft.ifftshift's permutation; for even N differs
+    because the Nyquist bin is filed as positive.
+    """
+    if N % 2 == 1:
+        return np.fft.ifftshift(np.arange(N))
+    return np.concatenate([np.arange(N // 2 + 1, N), np.arange(N // 2 + 1)])
+
+
+def afftshift_idx(N):
+    """Inverse of `aifftshift_idx`: moves the right N//2+1 bins to the left
+    (reference: old/ssqueezepy/wavelets.py:931-947)."""
+    if N % 2 == 1:
+        return np.fft.fftshift(np.arange(N))
+    return np.concatenate([np.arange(N // 2 - 1, N), np.arange(N // 2 - 1)])

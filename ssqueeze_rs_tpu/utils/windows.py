@@ -1,0 +1,129 @@
+"""STFT window construction (host-side numpy; windows are tiny constants).
+
+Reproduces reference semantics (old/ssqueezepy/_stft.py:259-336,
+old/ssqueezepy/utils/stft_utils.py:169-239):
+
+  * string windows via scipy.signal.get_window(..., fftbins=True),
+  * default window = DPSS(win_len, max(4, win_len//8), sym=False),
+  * windows are center-padded to n_fft,
+  * time-derivative window via frequency-domain differentiation
+    (ifft(fft(w) * i*xi) with even-N Nyquist zeroed),
+  * denormal zeroing.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.signal as sig
+
+from .common import WARN
+from .fft import xifn
+
+
+def _zero_denormals(w: np.ndarray) -> np.ndarray:
+    tiny = 1000 * np.finfo(w.dtype).tiny
+    w = w.copy()
+    w[np.abs(w) < tiny] = 0.0
+    return w
+
+
+def get_window(window, win_len: int, n_fft: int | None = None,
+               derivative: bool = False, dtype: str = "float64"):
+    """Build (and optionally differentiate) a window of length `n_fft`.
+
+    (reference: old/ssqueezepy/_stft.py:259-310)
+    """
+    if n_fft is None:
+        pl = pr = 0
+    else:
+        if win_len > n_fft:
+            raise ValueError(f"Can't have `win_len > n_fft` ({win_len} > {n_fft})")
+        pl = (n_fft - win_len) // 2
+        pr = n_fft - win_len - pl
+
+    if window is not None:
+        if isinstance(window, str):
+            window = sig.get_window(window, win_len, fftbins=True)
+        else:
+            window = np.asarray(window)
+            if len(window) != win_len:
+                WARN(f"len(window) != win_len ({len(window)} != {win_len})")
+    else:
+        window = sig.windows.dpss(win_len, max(4, win_len // 8), sym=False)
+
+    if len(window) < (win_len + pl + pr):
+        window = np.pad(window, [pl, pr])
+
+    if derivative:
+        Nw = len(window)
+        xi = xifn(1, Nw)
+        if Nw % 2 == 0:
+            xi[Nw // 2] = 0
+        diff_window = np.fft.ifft(np.fft.fft(window) * 1j * xi).real
+
+    window = _zero_denormals(window.astype(dtype))
+    if derivative:
+        diff_window = _zero_denormals(diff_window.astype(dtype))
+        return window, diff_window
+    return window
+
+
+def window_norm(window: np.ndarray, hop_len: int, n_fft: int, N: int,
+                win_exp: int = 1) -> np.ndarray:
+    """Sum of shifted window**(win_exp+1), the Griffin-Lim least-squares
+    denominator (reference: old/ssqueezepy/utils/stft_utils.py:169-191)."""
+    wn = np.zeros(N + n_fft - 1, dtype=window.dtype)
+    wpow = window ** (win_exp + 1)
+    max_hops = (len(wn) - n_fft) // hop_len + 1
+    for i in range(max_hops):
+        n = i * hop_len
+        wn[n:n + n_fft] += wpow
+    return wn
+
+
+def window_resolution(window: np.ndarray):
+    """(std_w, std_t, harea) of a window
+    (reference: old/ssqueezepy/utils/stft_utils.py:194-216)."""
+    assert window.min() >= 0, f"`window` must be >= 0 (got min={window.min()})"
+    N = len(window)
+    t = np.arange(-N / 2, N / 2, step=1)
+    ws = np.fft.fftshift(xifn(1, N))
+
+    psihs = np.fft.fftshift(np.fft.fft(window))
+    apsi2 = np.abs(window) ** 2
+    apsih2s = np.abs(psihs) ** 2
+
+    var_w = np.trapezoid(ws**2 * apsih2s, ws) / np.trapezoid(apsih2s, ws)
+    var_t = np.trapezoid(t**2 * apsi2, t) / np.trapezoid(apsi2, t)
+
+    std_w, std_t = np.sqrt(var_w), np.sqrt(var_t)
+    return std_w, std_t, std_w * std_t
+
+
+def window_area(window: np.ndarray, time: bool = True, frequency: bool = False):
+    """Area under |window|^2 in time and/or frequency
+    (reference: old/ssqueezepy/utils/stft_utils.py:219-239)."""
+    if not time and not frequency:
+        raise ValueError("must compute something")
+    if time:
+        t = np.arange(-len(window) / 2, len(window) / 2, step=1)
+        at = np.trapezoid(np.abs(window) ** 2, t)
+    if frequency:
+        ws = np.fft.fftshift(xifn(1, len(window)))
+        apsih2s = np.abs(np.fft.fftshift(np.fft.fft(window))) ** 2
+        aw = np.trapezoid(apsih2s, ws)
+    if time and frequency:
+        return at, aw
+    return at if time else aw
+
+
+def check_nola(window: np.ndarray, hop_len: int) -> bool:
+    """Non-zero overlap-add criterion; warns when violated
+    (reference: old/ssqueezepy/_stft.py:313-336)."""
+    if hop_len > len(window):
+        WARN("`hop_len > len(window)`; STFT not invertible")
+        return False
+    ok = bool(sig.check_NOLA(window, len(window), len(window) - hop_len))
+    if not ok:
+        WARN("`window` fails Non-zero Overlap Add (NOLA) criterion; "
+             "STFT not invertible")
+    return ok

@@ -1,0 +1,146 @@
+"""Wavelet abstraction: pure frequency-domain functions of (omega; params).
+
+TPU-first redesign of the reference's `Wavelet` class
+(old/ssqueezepy/wavelets.py:43-470): instead of a stateful callable with GPU
+flags, a wavelet here is a frozen, hashable spec whose `psih` evaluates with
+either numpy (host planning: scale bounds, admissibility, properties) or
+jax.numpy (traced transform code). Hashability lets every host-side planning
+result be cached per (wavelet, N, ...) key.
+
+Filterbank sampling is one batched expression `psih(scales[:, None] * xi)` —
+the vmap/broadcast replacement for the reference's per-scale loops
+(rust/src/spectral/cwt.rs:228-310).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache, cached_property
+
+import numpy as np
+
+from ..config import DEFAULTS
+from ..utils.common import assert_is_one_of
+from ..utils.fft import xifn
+
+# registry: name -> builder(params dict) -> psih function factory
+_FAMILIES = {}
+
+
+def register_family(name):
+    def deco(builder):
+        _FAMILIES[name] = builder
+        return builder
+    return deco
+
+
+@dataclass(frozen=True)
+class Wavelet:
+    """Frozen wavelet spec. `psih(w, xp)` evaluates the frequency-domain
+    wavelet; positive-frequency support assumed (analytic wavelets)."""
+    name: str
+    params: tuple  # sorted ((key, value), ...) pairs, hashable
+
+    # -- construction ---------------------------------------------------------
+    @staticmethod
+    def build(spec="gmw", l1_norm: bool | None = None, **overrides) -> "Wavelet":
+        """Accepts: Wavelet | str | (str, dict)  — reference API parity
+        (old/ssqueezepy/_cwt.py:495-512 `_process_gmw_wavelet` included via
+        `l1_norm`)."""
+        if isinstance(spec, Wavelet):
+            return spec
+        if isinstance(spec, tuple):
+            name, opts = spec
+            opts = dict(opts)
+        else:
+            name, opts = spec, {}
+        name = name.lower()
+        opts.update(overrides)
+        assert_is_one_of(name, "wavelet", tuple(_FAMILIES))
+        defaults = dict(DEFAULTS.get(name, {}))
+        if name == "gmw" and l1_norm is not None:
+            opts.setdefault("norm", "bandpass" if l1_norm else "energy")
+        for k, v in defaults.items():
+            opts.setdefault(k, v)
+        return Wavelet(name, tuple(sorted(opts.items())))
+
+    @property
+    def config(self) -> dict:
+        return dict(self.params)
+
+    # -- evaluation -----------------------------------------------------------
+    @cached_property
+    def _fn(self):
+        return _FAMILIES[self.name](self.config)
+
+    def psih(self, w, xp=np):
+        """Evaluate the frequency-domain wavelet at radian frequencies `w`."""
+        return self._fn(w, xp)
+
+    def __call__(self, w):
+        """numpy evaluation (host-side planning); mirrors reference
+        `Wavelet.fn`."""
+        return self.psih(np.asarray(w, dtype=np.float64), np)
+
+    def sample(self, scales, N: int, xp=np, nohalf: bool = False):
+        """Filterbank `psih(scales[:, None] * xi(1, N))`, one batched eval.
+
+        `nohalf=False` halves the Nyquist bin (even N) for analyticity
+        (reference: old/ssqueezepy/wavelets.py:86-95).
+        Returns shape (len(scales), N), or (N,) for scalar scale.
+        """
+        xi = xifn(1, N, xp=xp)
+        scales = xp.asarray(scales)
+        scalar = (getattr(scales, "ndim", 0) == 0)
+        w = (scales * xi) if scalar else (scales.reshape(-1, 1) * xi[None, :])
+        psih = self.psih(w, xp)
+        if not nohalf and N % 2 == 0:
+            if xp is np:
+                psih = psih.copy()
+                psih[..., N // 2] = psih[..., N // 2] / 2
+            else:
+                psih = psih.at[..., N // 2].divide(2)
+        return psih
+
+    def psi_time(self, scale, N: int, xp=np):
+        """Centered time-domain wavelet via spectral reversal + iFFT
+        (reference: old/ssqueezepy/wavelets.py:97-109)."""
+        psih = self.sample(scale, N, xp=xp, nohalf=False)
+        pn = (-1.0) ** xp.arange(N)
+        return xp.fft.ifft(psih * pn, axis=-1)
+
+    # -- properties (host-side, cached) ----------------------------------------
+    @cached_property
+    def wc_ct(self) -> float:
+        """Continuous-time radian peak frequency (kind='peak-ct')."""
+        from .props import find_maximum
+        w_peak, _ = find_maximum(self)
+        return float(w_peak)
+
+    @cached_property
+    def scalec_ct(self) -> float:
+        """Scale putting the peak at pi/4 (reference wavelets.py:239-246)."""
+        return (4 / np.pi) * self.wc_ct
+
+    def center_frequency(self, scale=None, N=1024, kind="energy",
+                         force_int=None):
+        from .props import center_frequency
+        return center_frequency(self, scale=scale, N=N, kind=kind,
+                                force_int=force_int)
+
+    def std_t(self, scale=None, N=1024, nondim=True):
+        from .props import time_resolution
+        scale = self.scalec_ct if scale is None else scale
+        return time_resolution(self, scale=scale, N=N, nondim=nondim)
+
+    def std_w(self, scale=None, N=1024, nondim=True):
+        from .props import freq_resolution
+        scale = self.scalec_ct if scale is None else scale
+        return freq_resolution(self, scale=scale, N=N, nondim=nondim)
+
+    def harea(self, scale=None, N=1024):
+        return self.std_t(scale, N) * self.std_w(scale, N)
+
+
+@lru_cache(maxsize=256)
+def _cached_wavelet(name, params):
+    return Wavelet(name, params)

@@ -1,0 +1,211 @@
+"""Generalized Morse Wavelets.
+
+Closed forms and higher-order (Laguerre) construction matching the reference
+(old/ssqueezepy/_gmw.py). Constants are precomputed on host (scipy gamma
+functions); the returned `fn(w, xp)` traces cleanly under jit.
+
+  L1 (bandpass): psih(w) = 2*exp(-beta*ln(wc) + wc^gamma + beta*ln(w) - w^gamma)
+  L2 (energy):   psih(w) = sqrt(2*pi*gamma*2^r / Gamma(r)) * w^beta * exp(-w^gamma),
+                 r = (2*beta+1)/gamma
+  order k > 0:   multiplied by generalized Laguerre polynomial in 2*w^gamma
+                 with Gamma-ratio coefficients (reference _gmw.py:366-394).
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import gammaln as gammaln_fn, gamma as gamma_fn
+
+from .base import register_family
+
+pi = np.pi
+
+
+def morsefreq(gamma: float, beta: float, n_out: int = 1):
+    """GMW frequency measures (radian): peak, energy, instantaneous
+    (reference: old/ssqueezepy/_gmw.py:611-657)."""
+    wm = (beta / gamma) ** (1 / gamma)
+    if n_out == 1:
+        return wm
+    we = (1 / 2 ** (1 / gamma)) * (gamma_fn((2 * beta + 2) / gamma) /
+                                   gamma_fn((2 * beta + 1) / gamma))
+    if n_out == 2:
+        return wm, we
+    wi = gamma_fn((beta + 2) / gamma) / gamma_fn((beta + 1) / gamma)
+    return wm, we, wi
+
+
+def gmw_k_constants(gamma: float, beta: float, k: int, norm: str = "bandpass"):
+    """Laguerre-polynomial + normalization constants for order-k GMWs
+    (reference: old/ssqueezepy/_gmw.py:366-394)."""
+    r = (2 * beta + 1) / gamma
+    c = r - 1
+    if norm == "bandpass":
+        coeff = np.sqrt(np.exp(gammaln_fn(r) + gammaln_fn(k + 1) -
+                               gammaln_fn(k + r)))
+    else:
+        coeff = np.sqrt(2 * pi * gamma * (2**r) *
+                        np.exp(gammaln_fn(k + 1) - gammaln_fn(k + r)))
+    L = np.zeros(k + 1)
+    for m in range(k + 1):
+        fact = np.exp(gammaln_fn(k + c + 1) - gammaln_fn(c + m + 1) -
+                      gammaln_fn(k - m + 1))
+        L[m] = (-1) ** m * fact / gamma_fn(m + 1)
+    k_consts = L * coeff
+    if norm == "bandpass":
+        k_consts = k_consts * 2
+    return k_consts
+
+
+@register_family("gmw")
+def _build_gmw(cfg):
+    gamma = float(cfg.get("gamma", 3.0))
+    beta = float(cfg.get("beta", 60.0))
+    norm = cfg.get("norm", "bandpass")
+    order = int(cfg.get("order", 0))
+    centered_scale = bool(cfg.get("centered_scale", False))
+    if gamma <= 0:
+        raise ValueError(f"`gamma` must be positive (got {gamma})")
+    if beta <= 0:
+        raise ValueError(f"`beta` must be positive (got {beta}); "
+                         "use morsewave for beta=0")
+    if norm not in ("bandpass", "energy"):
+        raise ValueError(f"`norm` must be 'bandpass' or 'energy' (got {norm})")
+
+    wc = morsefreq(gamma, beta)
+    wcl = np.log(wc)
+
+    if order == 0:
+        if norm == "bandpass":
+            def fn(w, xp):
+                if centered_scale:
+                    w = w * wc
+                wp = w * (w >= 0)
+                wl = xp.log(xp.where(w > 0, wp, 1.0))
+                return 2 * xp.exp(-beta * wcl + wc**gamma
+                                  + beta * wl - wp**gamma) * (w > 0)
+        else:
+            r = (2 * beta + 1) / gamma
+            A = np.sqrt(2.0 * pi * gamma * 2.0**r / gamma_fn(r))
+
+            def fn(w, xp):
+                if centered_scale:
+                    w = w * wc
+                wp = w * (w >= 0)
+                return A * wp**beta * xp.exp(-(wp**gamma)) * (w >= 0)
+    else:
+        k_consts = gmw_k_constants(gamma, beta, order, norm)
+
+        if norm == "bandpass":
+            def fn(w, xp):
+                if centered_scale:
+                    w = w * wc
+                wp = w * (w >= 0)
+                C = k_consts[0] * xp.ones_like(wp)
+                for m in range(1, len(k_consts)):
+                    C = C + k_consts[m] * (2 * wp**gamma) ** m
+                wl = xp.log(xp.where(w > 0, wp, 1.0))
+                return C * xp.exp(-beta * wcl + wc**gamma
+                                  + beta * wl - wp**gamma) * (w > 0)
+        else:
+            def fn(w, xp):
+                if centered_scale:
+                    w = w * wc
+                wp = w * (w >= 0)
+                C = k_consts[0] * xp.ones_like(wp)
+                for m in range(1, len(k_consts)):
+                    C = C + k_consts[m] * (2 * wp**gamma) ** m
+                wl = xp.log(xp.where(w > 0, wp, 1.0))
+                return C * xp.exp(beta * wl - wp**gamma) * (w > 0)
+
+    return fn
+
+
+# -- full K-family generator (jLab morsewave port-equivalent) ------------------
+def laguerre(x, k: int, c: float):
+    """Generalized Laguerre polynomial L_k^c(x)
+    (reference: old/ssqueezepy/_gmw.py:592-608)."""
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64).squeeze())
+    y = np.zeros(x.shape)
+    for m in range(k + 1):
+        fact = np.exp(gammaln_fn(k + c + 1) - gammaln_fn(c + m + 1) -
+                      gammaln_fn(k - m + 1))
+        y += (-1) ** m * fact * x**m / gamma_fn(m + 1)
+    return y
+
+
+def morseafun(gamma: float, beta: float, k: int = 1, norm: str = "bandpass"):
+    """GMW peak amplitude (reference: old/ssqueezepy/_gmw.py:555-589)."""
+    if norm == "energy":
+        r = (2 * beta + 1) / gamma
+        return np.sqrt(2 * pi * gamma * (2**r) *
+                       np.exp(gammaln_fn(k) - gammaln_fn(k + r - 1)))
+    if beta == 0:
+        return 2.0
+    wc = morsefreq(gamma, beta)
+    return 2.0 / np.exp(beta * np.log(wc) - wc**gamma)
+
+
+def morsewave(N: int, freqs, gamma: float = 3, beta: float = 60, K: int = 1,
+              norm: str = "bandpass"):
+    """First-K orthogonal GMWs at (radian) peak frequencies `freqs`.
+
+    Host-side generator matching reference semantics
+    (old/ssqueezepy/_gmw.py:398-552). Returns (psih, psi), each of shape
+    (N, len(freqs), K) with length-1 dims squeezed.
+    """
+    if not isinstance(freqs, (list, tuple, np.ndarray)):
+        freqs = [freqs]
+    psi = np.zeros((N, len(freqs), K), dtype="complex128")
+    psif = np.zeros((N, len(freqs), K))
+
+    for n, f in enumerate(freqs):
+        X, x = _morsewave1(N, abs(f), gamma, beta, K, norm)
+        psif[:, n:n + 1, :], psi[:, n:n + 1, :] = X, x
+        if f < 0:
+            psi[:, n:n + 1, :] = psi[:, n, :].conj()[:, None]
+            psif[1:, n:n + 1, :] = np.flip(psif[1:, n, :], axis=0)[:, None]
+
+    return psif.squeeze(), psi.squeeze()
+
+
+def _morsewave1(N, f, gamma, beta, K, norm):
+    fo = morsefreq(gamma, beta)
+    fact = f / fo
+    w = 2 * pi * np.linspace(0, 1, N, endpoint=False) / fact
+    w = w.reshape(-1, 1)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if norm == "energy":
+            psizero = (np.exp(-(w**gamma)) if beta == 0 else
+                       np.exp(beta * np.log(w) - w**gamma))
+        else:
+            psizero = (2 * np.exp(-(w**gamma)) if beta == 0 else
+                       2 * np.exp(-beta * np.log(fo) + fo**gamma
+                                  + beta * np.log(w) - w**gamma))
+    if beta == 0:
+        psizero[0] /= 2
+    psizero[np.isnan(psizero) | np.isinf(psizero)] = 0.0
+
+    r = (2 * beta + 1) / gamma
+    c = r - 1
+    L = np.zeros(w.shape)
+    psif = np.zeros((len(psizero), 1, K))
+    for k in range(K):
+        if norm == "energy":
+            coeff = np.sqrt(1.0 / fact) * morseafun(gamma, beta, k + 1,
+                                                    norm="energy")
+        else:
+            coeff = (1.0 if beta == 0 else
+                     np.sqrt(np.exp(gammaln_fn(r) + gammaln_fn(k + 1) -
+                                    gammaln_fn(k + r))))
+        L[:N // 2 + 1] = laguerre(2 * w[:N // 2 + 1] ** gamma, k, c
+                                  ).reshape(-1, 1)
+        psif[:, :, k] = coeff * psizero * L
+    psif[np.isinf(psif)] = 0.0
+
+    Xr = psif.copy()
+    Xr *= (-1) ** np.arange(len(Xr)).reshape(-1, 1, 1)
+    if len(Xr) % 2 == 0:
+        Xr[len(Xr) // 2] /= 2
+    x = np.fft.ifft(Xr, axis=0)
+    return psif, x

@@ -1,0 +1,88 @@
+"""STFT round-trip & equivalence tests (mirrors
+old/tests/reconstruction_test.py:160-236)."""
+import numpy as np
+import pytest
+
+from ssqueeze_rs_tpu import stft, istft
+from ssqueeze_rs_tpu.utils import padsignal
+
+
+def test_stft_roundtrip_grid():
+    """Every even/odd combo of (N, n_fft) x hops x modulated inverts to
+    float64 MAE < 1e-14 (reference: reconstruction_test.py:160-181)."""
+    th = 1e-14
+    rng = np.random.default_rng(0)
+    for N in (128, 129):
+        x = rng.standard_normal(N)
+        for n_fft in (120, 121):
+            for hop_len in (1, 2, 3):
+                for modulated in (True, False):
+                    kw = dict(hop_len=hop_len, n_fft=n_fft,
+                              modulated=modulated)
+                    Sx = stft(x, dtype="float64", **kw)
+                    xr = np.asarray(istft(Sx, N=len(x), **kw))
+                    txt = (f"(N, n_fft, hop_len, modulated) = "
+                           f"({N}, {n_fft}, {hop_len}, {modulated})")
+                    assert len(x) == len(xr), txt
+                    mae = np.abs(x - xr).mean()
+                    assert mae < th, f"MAE = {mae:.2e} > {th:.0e} {txt}"
+
+
+def test_stft_matches_manual_dft():
+    """Kernel equivalence: unmodulated STFT == hand-rolled numpy framing+rfft
+    (the reference's buffer-vs-manual check, old/tests/fft_test.py:380-416)."""
+    rng = np.random.default_rng(1)
+    N, n_fft, hop = 200, 64, 4
+    x = rng.standard_normal(N)
+    window = np.hanning(n_fft + 1)[:-1]  # periodic hann
+
+    Sx = np.asarray(stft(x, window=window, n_fft=n_fft, hop_len=hop,
+                         modulated=False, dtype="float64"))
+
+    xp = np.asarray(padsignal(x, "reflect", padlength=N + n_fft - 1))
+    n_segs = (len(xp) - n_fft) // hop + 1
+    ref = np.empty((n_fft // 2 + 1, n_segs), dtype=complex)
+    for i in range(n_segs):
+        ref[:, i] = np.fft.rfft(xp[i * hop:i * hop + n_fft] * window)
+    assert np.allclose(Sx, ref), np.abs(Sx - ref).max()
+
+
+def test_stft_modulated_is_ifftshifted_frames():
+    rng = np.random.default_rng(2)
+    N, n_fft = 64, 32
+    x = rng.standard_normal(N)
+    window = np.hanning(n_fft + 1)[:-1]
+    Sm = np.asarray(stft(x, window=window, n_fft=n_fft, hop_len=1,
+                         modulated=True, dtype="float64"))
+    xp = np.asarray(padsignal(x, "reflect", padlength=N + n_fft - 1))
+    ref = np.empty_like(Sm)
+    for i in range(Sm.shape[1]):
+        fr = xp[i:i + n_fft] * window
+        ref[:, i] = np.fft.rfft(np.fft.ifftshift(fr))
+    assert np.allclose(Sm, ref)
+
+
+def test_stft_batched_equals_loop():
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((3, 150))
+    S = np.asarray(stft(X, n_fft=64, hop_len=2, dtype="float64"))
+    for i in range(3):
+        Si = np.asarray(stft(X[i], n_fft=64, hop_len=2, dtype="float64"))
+        assert np.allclose(S[i], Si)
+
+
+def test_stft_default_n_fft_and_shapes():
+    x = np.random.randn(1000)
+    Sx = np.asarray(stft(x))
+    assert Sx.shape[0] == 512 // 2 + 1
+    assert Sx.shape[1] == (1000 - 1) // 1 + 1
+
+
+def test_istft_batched():
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((2, 128))
+    kw = dict(n_fft=64, hop_len=2)
+    S = stft(X, dtype="float64", **kw)
+    xr = np.asarray(istft(S, N=128, **kw))
+    assert xr.shape == X.shape
+    assert np.abs(X - xr).mean() < 1e-13

@@ -1,0 +1,96 @@
+"""Unit tests: grids, padding, windows (reference formulas)."""
+import numpy as np
+import pytest
+
+from ssqueeze_rs_tpu.utils import (xifn, p2up, padsignal, pad_params,
+                                   get_window, window_norm)
+from ssqueeze_rs_tpu.utils.fft import aifftshift_idx, afftshift_idx
+
+
+def test_xifn_even_odd():
+    # reference convention: positive Nyquist bin (wavelets.py:472-483)
+    xi = xifn(1, 8)
+    h = 2 * np.pi / 8
+    assert np.allclose(xi, np.array([0, 1, 2, 3, 4, -3, -2, -1]) * h)
+    xi = xifn(1, 9)
+    h = 2 * np.pi / 9
+    assert np.allclose(xi, np.array([0, 1, 2, 3, 4, -4, -3, -2, -1]) * h)
+    # scale multiplies
+    assert np.allclose(xifn(2.5, 16), 2.5 * xifn(1, 16))
+
+
+def test_aifftshift_roundtrip():
+    for N in (8, 9, 128, 129):
+        x = np.random.randn(N)
+        idx = aifftshift_idx(N)
+        inv = afftshift_idx(N)
+        assert np.allclose(x[idx][inv], x)
+        # shifted xifn grid must ascend (even N; odd N inherits the
+        # reference's np.fft.ifftshift quirk, wavelets.py:954 — unused in
+        # practice since planning Ns are powers of 2)
+        if N % 2 == 0:
+            w = xifn(1, N)[idx]
+            assert np.all(np.diff(w) > 0)
+
+
+def test_p2up():
+    # up = 2**(1 + round(log2(n))) — NOT next power of 2
+    # (reference: utils/common.py:32-51)
+    assert p2up(128) == (256, 64, 64)
+    assert p2up(100) == (256, 78, 78)
+    assert p2up(129) == (256, 64, 63)
+    # n=180: log2=7.49 -> round to 7 -> up=256
+    assert p2up(180)[0] == 256
+    # n=182: log2=7.508 -> round to 8 -> up=512
+    assert p2up(182)[0] == 512
+
+
+def test_pad_params_parity():
+    # even total pad: left == right; odd: left = right + 1
+    for N, pl in [(128, 247), (129, 249), (128, 248), (129, 248)]:
+        n_up, n1, n2 = pad_params(N, pl)
+        assert n1 + n2 + N == pl
+        assert n1 - n2 in (0, 1)
+
+
+@pytest.mark.parametrize("padtype", ["reflect", "zero", "wrap", "replicate",
+                                     "symmetric"])
+def test_padsignal_modes(padtype):
+    x = np.arange(1.0, 5.0)  # [1,2,3,4]
+    xp = np.asarray(padsignal(x, padtype, padlength=11))
+    expected = {
+        "zero": [0, 0, 0, 0, 1, 2, 3, 4, 0, 0, 0],
+        "reflect": [3, 4, 3, 2, 1, 2, 3, 4, 3, 2, 1],
+        "replicate": [1, 1, 1, 1, 1, 2, 3, 4, 4, 4, 4],
+        "wrap": [1, 2, 3, 4, 1, 2, 3, 4, 1, 2, 3],
+        "symmetric": [4, 3, 2, 1, 1, 2, 3, 4, 4, 3, 2],
+    }[padtype]
+    assert np.allclose(xp, expected), (padtype, xp)
+
+
+def test_padsignal_batched():
+    x = np.random.randn(3, 2, 50)
+    xp = np.asarray(padsignal(x, "reflect"))
+    assert xp.shape == (3, 2, 128)  # p2up(50) -> 2**(1+round(log2 50)) = 128
+    x1 = np.asarray(padsignal(x[1, 1], "reflect"))
+    assert np.allclose(xp[1, 1], x1)
+
+
+def test_window_default_dpss_and_diff():
+    w, dw = get_window(None, 64, 64, derivative=True)
+    assert len(w) == 64 and len(dw) == 64
+    # diff window integrates to ~0 and is odd-ish for symmetric windows
+    assert abs(dw.sum()) < 1e-8
+
+    # string window, center-padded to n_fft
+    w = get_window("hann", 32, n_fft=64)
+    assert len(w) == 64
+    assert np.allclose(w[:16], 0)
+    assert np.allclose(w[-16:], 0)
+
+
+def test_window_norm_overlap():
+    w = np.ones(8)
+    wn = window_norm(w, hop_len=8, n_fft=8, N=32, win_exp=1)
+    # non-overlapping unit windows: norm == 1 over each covered stretch
+    assert np.allclose(wn[:32], 1)
