@@ -25,6 +25,8 @@ class TestSignals:
     """Signal bank for testing & demos (reference parity:
     _test_signals.py:84-462)."""
 
+    __test__ = False  # not a pytest class
+
     SUPPORTED = ['cosine', 'sine', 'lchirp', 'echirp', 'echirp_pc', 'hchirp',
                  'par_lchirp', 'par_echirp', 'par_hchirp', 'jumps', 'packed',
                  'packed_poly', 'poly_cubic', 'am_cosine', 'am_sine',
