@@ -1,0 +1,142 @@
+"""Multi-device sharding tests on an 8-device virtual CPU mesh.
+
+The reference never tests multi-node (it has none); these validate the
+halo-exchange semantics the TPU build adds (SURVEY §4 implication).
+"""
+import numpy as np
+import jax
+import pytest
+
+from ssqueeze_rs_tpu import stft, cwt, ssq_cwt, ssq_stft
+from ssqueeze_rs_tpu.parallel import (make_mesh, shard_batch, chunked_stft,
+                                      chunked_cwt, chunked_ssq_cwt,
+                                      chunked_ssq_stft)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh((1, 8), ("data", "time"))
+
+
+@pytest.fixture(scope="module")
+def mesh2x4():
+    return make_mesh((2, 4), ("data", "time"))
+
+
+def test_chunked_stft_bit_exact(mesh):
+    """Sharded STFT == single-device STFT, bit-for-bit."""
+    rng = np.random.default_rng(0)
+    N = 2048
+    x = rng.standard_normal(N)
+    kw = dict(window="hann", n_fft=256, hop_len=64, dtype="float64")
+    ref = np.asarray(stft(x, modulated=True, **kw))
+    out = np.asarray(chunked_stft(x, mesh, modulated=True, **kw))
+    assert out.shape == ref.shape
+    assert np.array_equal(out, ref), np.abs(out - ref).max()
+
+
+def test_chunked_stft_derivative_bit_exact(mesh):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(1024)
+    kw = dict(window="hann", n_fft=128, hop_len=16, fs=500.0,
+              dtype="float64")
+    Sr, dSr = stft(x, derivative=True, **kw)
+    So, dSo = chunked_stft(x, mesh, derivative=True, **kw)
+    assert np.array_equal(np.asarray(So), np.asarray(Sr))
+    assert np.array_equal(np.asarray(dSo), np.asarray(dSr))
+
+
+def test_chunked_cwt_interior_accuracy(mesh):
+    """Overlap-save CWT: matches full transform away from the (documented)
+    chunk-edge tolerance for large scales."""
+    rng = np.random.default_rng(2)
+    N = 4096
+    t = np.arange(N) / N
+    x = np.cos(2 * np.pi * 64 * t) + 0.5 * np.cos(2 * np.pi * 300 * t)
+    wav = ("gmw", {"beta": 8.0})
+    Wr, scales = cwt(x, wav, scales="log", dtype="float64")
+    Wo, scales_o = chunked_cwt(x, mesh, wavelet=wav, scales="log",
+                               dtype="float64")
+    assert np.allclose(scales, scales_o)
+    Wr, Wo = np.asarray(Wr), np.asarray(Wo)
+    assert Wo.shape == Wr.shape
+    # rows whose wavelet support fits the halo: near-exact everywhere
+    err = np.abs(Wo - Wr)
+    ref_mag = np.abs(Wr).max()
+    # global relative error small
+    assert err.max() / ref_mag < 5e-2, err.max() / ref_mag
+    # small/mid scales: only the wavelet-grid discretization difference
+    # remains (chunk FFT length != global FFT length — inherent to
+    # overlap-save chunking, same as the reference's dask map_overlap)
+    assert err[: len(scales) // 2].max() / ref_mag < 1e-4
+
+
+def test_chunked_ssq_cwt_runs_and_inverts(mesh):
+    from ssqueeze_rs_tpu import issq_cwt, mad_rms
+    N = 2048
+    t = np.linspace(0, 10, N, endpoint=False)
+    x = np.cos(2 * np.pi * 3 * np.exp(t / 3))
+    wav = ("gmw", {"beta": 8.0})
+    Tx, Wx, ssq_freqs, scales = chunked_ssq_cwt(
+        x, mesh, wavelet=wav, scales="log", fs=N / 10, dtype="float64")
+    xrec = np.asarray(issq_cwt(Tx, wav))
+    err = mad_rms(x, xrec)
+    assert err < 0.12, err
+
+
+def test_chunked_ssq_cwt_matches_full(mesh):
+    """Tx from sharded pipeline ~ single-device ssq_cwt (same planning)."""
+    N = 2048
+    t = np.linspace(0, 10, N, endpoint=False)
+    x = np.cos(2 * np.pi * 3 * np.exp(t / 3))
+    wav = ("gmw", {"beta": 8.0})
+    fs = N / 10
+    Tr, *_ = ssq_cwt(x, wav, scales="log", fs=fs, dtype="float64")
+    To, *_ = chunked_ssq_cwt(x, mesh, wavelet=wav, scales="log", fs=fs,
+                             dtype="float64")
+    Tr, To = np.asarray(Tr), np.asarray(To)
+    assert To.shape == Tr.shape
+    # bin indices are sensitive to ulp-level Wx differences (mass moves one
+    # row), so compare marginals + reconstructions, not elementwise Tx
+    col_r = np.abs(Tr).sum(axis=0)
+    col_o = np.abs(To).sum(axis=0)
+    # (256-sample chunks cap the halo at S-1; largest-scale wavelets span
+    # more — this is the documented overlap-save edge tolerance, which
+    # shrinks as chunk length grows)
+    assert np.abs(col_o - col_r).mean() / col_r.mean() < 5e-2
+    from ssqueeze_rs_tpu import issq_cwt, mad_rms
+    xr_full = np.asarray(issq_cwt(Tr, wav))
+    xr_shard = np.asarray(issq_cwt(To, wav))
+    assert mad_rms(xr_full, xr_shard) < 5e-2
+
+
+def test_chunked_ssq_stft_matches_full(mesh):
+    rng = np.random.default_rng(3)
+    N = 1024
+    x = rng.standard_normal(N)
+    kw = dict(n_fft=128, fs=1000.0, dtype="float64")
+    Tr, Sr, *_ = ssq_stft(x, **kw)
+    To, So, *_ = chunked_ssq_stft(x, mesh, **kw)
+    assert np.array_equal(np.asarray(So), np.asarray(Sr))
+    assert np.allclose(np.asarray(To), np.asarray(Tr), atol=1e-12)
+
+
+def test_batch_and_time_sharding(mesh2x4):
+    """2-way batch x 4-way time: batched chunked ssq_cwt equals per-row."""
+    rng = np.random.default_rng(4)
+    B, N = 2, 1024
+    X = rng.standard_normal((B, N))
+    wav = ("gmw", {"beta": 8.0})
+    Xs = shard_batch(X, mesh2x4, "data")
+    Tb, Wb, fb, sb = chunked_ssq_cwt(Xs, mesh2x4, wavelet=wav, scales="log",
+                                     dtype="float64",
+                                     batch_axis_name="data")
+    Tb = np.asarray(Tb)
+    for i in range(B):
+        Ti, *_ = chunked_ssq_cwt(X[i], make_mesh((1, 4), ("data", "time")),
+                                 wavelet=wav, scales="log", dtype="float64")
+        assert np.allclose(Tb[i], np.asarray(Ti[0] if Ti.ndim == 3 else Ti),
+                           atol=1e-12), i
