@@ -27,6 +27,9 @@ from .ops.ssq_stft import ssq_stft, issq_stft  # noqa: E402
 from .ops.tkeo import tkeo, tkeo_modified  # noqa: E402
 from .ridge import extract_ridges  # noqa: E402
 from .signals import TestSignals  # noqa: E402
+from .experimental import scale_to_freq, freq_to_scale  # noqa: E402
+from . import toolkit  # noqa: E402
+from . import compat  # noqa: E402  (drop-in `_rs` API)
 
 __all__ = [
     "DEFAULTS", "EPS32", "EPS64", "pi", "mad_rms", "mad",

@@ -57,6 +57,22 @@ def interpret_mode() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
+def use_pallas_kernels() -> bool:
+    """Whether to use the Pallas fused reassignment kernel.
+
+    env ``SSQ_TPU_KERNELS``: '1' force on (interpret off-TPU), '0' force
+    off (XLA scatter), 'auto' (default) = on when running on TPU.
+    """
+    import jax
+
+    v = os.environ.get("SSQ_TPU_KERNELS", "auto")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def default_dtype():
     import jax.numpy as jnp
 

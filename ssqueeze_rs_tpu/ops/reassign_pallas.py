@@ -1,0 +1,183 @@
+"""Pallas TPU kernel: fused phase transform + analytic binning + reassignment.
+
+The reassignment scatter is the one op XLA does poorly (data-dependent
+indices -> serialized scatter-adds). This kernel keeps everything on-chip:
+
+  grid over time tiles; per tile, the phase transform w, the analytic bin
+  index k (log / log-piecewise / linear closed forms, reference
+  algos.py:859-984) and the accumulation Tx[k[i,j], j] += Wx[i,j]*const[i]
+  are computed in VMEM. The accumulation is a row loop with a one-hot
+  compare against a resident (nf, T) accumulator — columns are
+  embarrassingly parallel (the reference's column-parallel invariant,
+  algos.py:183-192), rows accumulate in fixed order => deterministic.
+
+Plan constants (vlmin, dvl, gamma, flipud, ...) are baked into the traced
+kernel as Python floats — they are host-side planning outputs, so each
+(plan, shape) pair compiles once.
+
+Complex data is carried as separate real/imag f32 planes (TPU has no
+native complex tiles).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import interpret_mode
+
+__all__ = ["reassign_pallas"]
+
+_TWO_PI = 6.283185307179586
+
+
+def _round_half_even(x):
+    # jnp.round is round-half-even, matching numba/np.round in the reference
+    return jnp.round(x)
+
+
+def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile):
+    omax_f = float(nf - 1)
+    gamma2 = float(gamma) ** 2
+
+    def kernel(wr_ref, wi_ref, dr_ref, di_ref, const_ref, sfs_ref,
+               outr_ref, outi_ref):
+        C = wr_ref[:]
+        D = wi_ref[:]
+        A = dr_ref[:]
+        B = di_ref[:]
+        mag2 = C * C + D * D
+        ratio = (B * C - A * D) / (mag2 * _TWO_PI)
+        if transform == "stft":
+            w = jnp.abs(sfs_ref[:] - ratio)
+        else:
+            w = jnp.abs(ratio)
+        mask = mag2 > gamma2
+
+        wsafe = jnp.where(mask & (w > 0), w, 1.0)
+        if mode == "log":
+            k = jnp.minimum(_round_half_even(jnp.maximum(
+                (jnp.log2(wsafe) - params["vlmin"]) / params["dvl"], 0.0)),
+                omax_f)
+        elif mode == "log-piecewise":
+            wl = jnp.log2(wsafe)
+            k_hi = jnp.minimum(_round_half_even(
+                (wl - params["vlmin1"]) / params["dvl1"]) + params["idx1"],
+                omax_f)
+            k_lo = jnp.maximum(_round_half_even(
+                (wl - params["vlmin0"]) / params["dvl0"]), 0.0)
+            k = jnp.where(wl > params["vlmin1"], k_hi, k_lo)
+        else:  # lin
+            k = jnp.minimum(_round_half_even(jnp.maximum(
+                (w - params["vmin"]) / params["dv"], 0.0)), omax_f)
+        # w == 0 with log binning: log2 -> -inf -> bin 0 (reference numba
+        # semantics); wsafe replaced those with 1.0, so force k=0 there
+        if mode.startswith("log"):
+            k = jnp.where(w > 0, k, 0.0)
+        k = k.astype(jnp.int32)
+        if flipud:
+            k = (nf - 1) - k
+        k = jnp.where(mask, k, -1)  # masked rows never match any bin
+
+        cb = const_ref[:]
+        vr = jnp.where(mask, C * cb, 0.0)
+        vi = jnp.where(mask, D * cb, 0.0)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nf, tile), 0)
+
+        outr_ref[:] = jnp.zeros((nf, tile), outr_ref.dtype)
+        outi_ref[:] = jnp.zeros((nf, tile), outi_ref.dtype)
+
+        def body(i, _):
+            ki = jax.lax.dynamic_slice_in_dim(k, i, 1, axis=0)   # (1, T)
+            vri = jax.lax.dynamic_slice_in_dim(vr, i, 1, axis=0)
+            vii = jax.lax.dynamic_slice_in_dim(vi, i, 1, axis=0)
+            onehot = rows == ki
+            outr_ref[:] += jnp.where(onehot, vri, 0.0)
+            outi_ref[:] += jnp.where(onehot, vii, 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, na, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "flipud", "transform",
+                                             "nf", "plan", "gamma_f",
+                                             "interpret"))
+def _reassign_pallas_2d(Wx, dWx, const_arr, Sfs, *, mode, flipud, transform,
+                        nf, plan, gamma_f, interpret):
+    """Wx, dWx: (na, n) complex; returns Tx (nf, n) complex."""
+    na, n = Wx.shape
+    rdtype = jnp.float32 if Wx.dtype == jnp.complex64 else jnp.float64
+
+    TILE = 512
+    n_pad = int(np.ceil(n / TILE)) * TILE
+    pad = n_pad - n
+
+    def prep(z):
+        zr = jnp.pad(z.real.astype(rdtype), ((0, 0), (0, pad)))
+        zi = jnp.pad(z.imag.astype(rdtype), ((0, 0), (0, pad)))
+        return zr, zi
+
+    wr, wi = prep(Wx)
+    dr, di = prep(dWx)
+    # padded columns: Wx=0 -> mag2=0 -> masked out; safe.
+    constb = jnp.broadcast_to(const_arr.astype(rdtype)[:, None], (na, 1))
+    sfsb = jnp.broadcast_to(Sfs.astype(rdtype)[:, None], (na, 1))
+
+    params = dict(plan)
+    kernel = _make_kernel(mode, params, gamma_f, flipud, transform, nf, na,
+                          TILE)
+
+    grid = (n_pad // TILE,)
+    bspec_in = pl.BlockSpec((na, TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    bspec_col = pl.BlockSpec((na, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    bspec_out = pl.BlockSpec((nf, TILE), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+
+    outr, outi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[bspec_in, bspec_in, bspec_in, bspec_in, bspec_col,
+                  bspec_col],
+        out_specs=(bspec_out, bspec_out),
+        out_shape=(jax.ShapeDtypeStruct((nf, n_pad), rdtype),
+                   jax.ShapeDtypeStruct((nf, n_pad), rdtype)),
+        interpret=interpret,
+    )(wr, wi, dr, di, constb, sfsb)
+
+    Tx = (outr + 1j * outi).astype(Wx.dtype)
+    return Tx[:, :n]
+
+
+def reassign_pallas(Wx, dWx, const_arr, gamma, Sfs, plan_params, *, mode,
+                    flipud, transform, nf, interpret=None):
+    """Fused reassignment via the Pallas kernel. Wx/dWx: (..., na, n).
+
+    `plan_params`: dict of host floats (vlmin/dvl/... per `mode`).
+    Falls back to interpreter mode off-TPU (CPU tests).
+    """
+    if interpret is None:
+        interpret = interpret_mode()
+    plan = tuple(sorted((k, float(v)) for k, v in plan_params.items()))
+
+    batch_shape = Wx.shape[:-2]
+    na, n = Wx.shape[-2:]
+    Wx2 = Wx.reshape((-1, na, n))
+    dWx2 = dWx.reshape((-1, na, n))
+
+    f = functools.partial(_reassign_pallas_2d, mode=mode, flipud=flipud,
+                          transform=transform, nf=nf, plan=plan,
+                          gamma_f=float(gamma), interpret=interpret)
+    if Wx2.shape[0] == 1:
+        Tx = f(Wx2[0], dWx2[0], const_arr, Sfs)[None]
+    else:
+        Tx = jax.vmap(lambda a, b: f(a, b, const_arr, Sfs))(Wx2, dWx2)
+    return Tx.reshape(batch_shape + (nf, n))

@@ -37,7 +37,7 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
 
     Returns (Tx, Sx, ssq_freqs, Sfs[, w][, dSx]).
     """
-    _, fs, _ = process_fs_and_t(fs, t, np.asarray(x).shape[-1])
+    _, fs, _ = process_fs_and_t(fs, t, jnp.shape(x)[-1])
     check_ssqueezing_args(squeezing)
     if (isinstance(ssq_freqs, np.ndarray) and
             infer_scaletype(ssq_freqs)[0] != "linear"):
@@ -87,7 +87,7 @@ def issq_stft(Tx, window=None, cc=None, cw=None, n_fft=None, win_len=None,
         raise ValueError("inversion with `hop_len != 1` is unsupported.")
 
     cc, cw, full_inverse = _process_component_inversion_args(cc, cw)
-    n_fft = int(n_fft or (np.asarray(Tx).shape[-2] - 1) * 2)
+    n_fft = int(n_fft or (jnp.shape(Tx)[-2] - 1) * 2)
     win_len = int(win_len or n_fft)
 
     window = get_window(window, win_len, n_fft=n_fft)

@@ -338,20 +338,32 @@ def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
     const_arr = np.broadcast_to(np.asarray(const, dtype=np.float64).squeeze(),
                                 (na,)).copy()
 
-    mode, params = bin_params(ssq_freqs, ssq_scaletype.startswith("log"))
-    params = {k: (jnp.asarray(v) if k != "idx1" else jnp.asarray(v, jnp.int32))
-              for k, v in params.items()}
+    mode, params_host = bin_params(ssq_freqs, ssq_scaletype.startswith("log"))
 
     rdtype = jnp.float64 if Wx.dtype == jnp.complex128 else jnp.float32
     Sfs_arr = (jnp.asarray(Sfs, dtype=rdtype) if Sfs is not None else
                jnp.zeros((na,), rdtype))
     fused = w is None
-    w_or_dWx = dWx if fused else w
-    gamma_val = jnp.asarray(gamma if gamma is not None else 0.0, dtype=rdtype)
 
-    Tx = reassign(Wx, jnp.asarray(w_or_dWx), jnp.asarray(const_arr, rdtype),
-                  gamma_val, Sfs_arr, params, mode=mode, flipud=flipud,
-                  fused=fused, transform=transform, nf=len(ssq_freqs))
+    from ..config import use_pallas_kernels
+    if fused and use_pallas_kernels():
+        from .reassign_pallas import reassign_pallas
+        Tx = reassign_pallas(Wx, jnp.asarray(dWx),
+                             jnp.asarray(const_arr, rdtype),
+                             float(gamma), Sfs_arr, params_host, mode=mode,
+                             flipud=flipud, transform=transform,
+                             nf=len(ssq_freqs))
+    else:
+        params = {k: (jnp.asarray(v) if k != "idx1" else
+                      jnp.asarray(v, jnp.int32))
+                  for k, v in params_host.items()}
+        w_or_dWx = dWx if fused else w
+        gamma_val = jnp.asarray(gamma if gamma is not None else 0.0,
+                                dtype=rdtype)
+        Tx = reassign(Wx, jnp.asarray(w_or_dWx),
+                      jnp.asarray(const_arr, rdtype), gamma_val, Sfs_arr,
+                      params, mode=mode, flipud=flipud, fused=fused,
+                      transform=transform, nf=len(ssq_freqs))
 
     # `scales` go high -> low (reference: ssqueezing.py:217-223)
     if (transform == "cwt" and not flipud) or flipud:

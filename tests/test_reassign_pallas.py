@@ -1,0 +1,107 @@
+"""Pallas fused reassignment kernel vs the jnp scatter engine
+(kernel-equivalence strategy of old/tests/fft_test.py:351-377)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ssqueeze_rs_tpu import cwt
+from ssqueeze_rs_tpu.ops.ssqueeze import reassign, bin_params
+from ssqueeze_rs_tpu.ops.reassign_pallas import reassign_pallas
+
+
+def _setup(N=1024, dtype="complex64"):
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 10, N, endpoint=False)
+    x = np.cos(2 * np.pi * 3 * np.exp(t / 3)) + 0.1 * rng.standard_normal(N)
+    Wx, scales, dWx = cwt(x, ("gmw", {"beta": 8.0}), scales="log",
+                          fs=N / 10, derivative=True,
+                          dtype="float32" if dtype == "complex64"
+                          else "float64")
+    return np.asarray(Wx).astype(dtype), np.asarray(dWx).astype(dtype), scales
+
+
+@pytest.mark.parametrize("flipud", [False, True])
+@pytest.mark.parametrize("mode_freqs", [
+    ("log", np.geomspace(0.05, 50.0, 200)),
+    ("lin", np.linspace(0.05, 50.0, 200)),
+])
+def test_pallas_matches_scatter(mode_freqs, flipud):
+    mode_expect, ssq_freqs = mode_freqs
+    Wx, dWx, scales = _setup()
+    na, n = Wx.shape
+    nf = len(ssq_freqs)
+    gamma = 1e-5
+    const = np.full(na, 0.021, np.float64)
+
+    mode, params = bin_params(ssq_freqs, mode_expect == "log")
+    assert mode == mode_expect
+
+    params_j = {k: jnp.asarray(v) for k, v in params.items()}
+    Sfs = jnp.zeros((na,), jnp.float32)
+    ref = np.asarray(reassign(
+        jnp.asarray(Wx), jnp.asarray(dWx), jnp.asarray(const, jnp.float32),
+        jnp.asarray(gamma, jnp.float32), Sfs, params_j, mode=mode,
+        flipud=flipud, fused=True, transform="cwt", nf=nf))
+
+    out = np.asarray(reassign_pallas(
+        jnp.asarray(Wx), jnp.asarray(dWx), jnp.asarray(const, jnp.float32),
+        gamma, Sfs, params, mode=mode, flipud=flipud, transform="cwt",
+        nf=nf, interpret=True))
+
+    assert out.shape == ref.shape
+    # identical binning decisions on ~all elements; allow ulp-level strays
+    # from f32 expression reassociation at bin boundaries
+    diff = np.abs(out - ref)
+    denom = np.abs(ref).sum()
+    assert diff.sum() / denom < 1e-4, diff.sum() / denom
+
+
+def test_pallas_log_piecewise():
+    Wx, dWx, scales = _setup()
+    na, n = Wx.shape
+    # construct a log-piecewise ssq_freqs grid: dense low, sparse high
+    f1 = np.geomspace(0.05, 1.0, 150, endpoint=False)
+    f2 = np.geomspace(1.0, 50.0, 50)
+    ssq_freqs = np.hstack([f1, f2])
+    mode, params = bin_params(ssq_freqs, True)
+    assert mode == "log-piecewise"
+    nf = len(ssq_freqs)
+    gamma = 1e-5
+    const = np.full(na, 0.03, np.float64)
+
+    params_j = {k: (jnp.asarray(v) if k != "idx1" else
+                    jnp.asarray(v, jnp.int32)) for k, v in params.items()}
+    Sfs = jnp.zeros((na,), jnp.float32)
+    ref = np.asarray(reassign(
+        jnp.asarray(Wx), jnp.asarray(dWx), jnp.asarray(const, jnp.float32),
+        jnp.asarray(gamma, jnp.float32), Sfs, params_j, mode=mode,
+        flipud=True, fused=True, transform="cwt", nf=nf))
+    out = np.asarray(reassign_pallas(
+        jnp.asarray(Wx), jnp.asarray(dWx), jnp.asarray(const, jnp.float32),
+        gamma, Sfs, params, mode=mode, flipud=True, transform="cwt", nf=nf,
+        interpret=True))
+    assert np.abs(out - ref).sum() / np.abs(ref).sum() < 1e-4
+
+
+def test_pallas_stft_mode():
+    rng = np.random.default_rng(1)
+    na, n = 65, 500
+    Sx = (rng.standard_normal((na, n)) +
+          1j * rng.standard_normal((na, n))).astype(np.complex64)
+    dSx = (rng.standard_normal((na, n)) +
+           1j * rng.standard_normal((na, n))).astype(np.complex64)
+    Sfs = np.linspace(0, 0.5, na).astype(np.float32)
+    mode, params = bin_params(Sfs, False)
+    const = np.full(na, float(Sfs[1] - Sfs[0]), np.float64)
+    gamma = 1e-6
+
+    params_j = {k: jnp.asarray(v) for k, v in params.items()}
+    ref = np.asarray(reassign(
+        jnp.asarray(Sx), jnp.asarray(dSx), jnp.asarray(const, jnp.float32),
+        jnp.asarray(gamma, jnp.float32), jnp.asarray(Sfs), params_j,
+        mode=mode, flipud=False, fused=True, transform="stft", nf=na))
+    out = np.asarray(reassign_pallas(
+        jnp.asarray(Sx), jnp.asarray(dSx), jnp.asarray(const, jnp.float32),
+        gamma, jnp.asarray(Sfs), params, mode=mode, flipud=False,
+        transform="stft", nf=na, interpret=True))
+    assert np.abs(out - ref).sum() / np.abs(ref).sum() < 1e-4
