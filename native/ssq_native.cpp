@@ -1,0 +1,194 @@
+// Native host-side runtime for ssqueeze_rs_tpu.
+//
+// The reference's native layer is a Rust/Rayon transform core
+// (rust/src/spectral/*) plus dask/pyarrow ingestion. On TPU the transforms
+// live in XLA/Pallas; the native layer that remains host-side is:
+//
+//   1. a memory-mapped chunked signal reader with halo overlap — the
+//      streaming feeder for sharded long-recording pipelines (replaces the
+//      dask map_overlap ingestion in reference tests/stft_test.py:262-269),
+//   2. OpenMP column-parallel fused reassignment kernels — a CPU oracle /
+//      fallback mirroring the behavior of the reference's numba/Rust hot
+//      loops (old/ssqueezepy/algos.py:859-984, rust/src/spectral/ssq_cwt.rs)
+//      without copying their code,
+//   3. TKEO kernels (reference test.rs:10-177).
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 dependency).
+//
+// Build: make -C native   (produces libssq_native.so)
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// 1. Memory-mapped chunked reader with halo overlap
+// ---------------------------------------------------------------------------
+struct MappedSignal {
+    int fd;
+    void* base;
+    size_t bytes;
+    int64_t n_channels;   // channel-major layout: [channel][sample]
+    int64_t n_samples;
+    int32_t dtype_code;   // 0 = float32, 1 = float64
+};
+
+// Open a raw binary recording (channel-major). Returns handle or null.
+MappedSignal* ssq_open(const char* path, int64_t n_channels,
+                       int32_t dtype_code) {
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) return nullptr;
+    struct stat st;
+    if (fstat(fd, &st) != 0) { ::close(fd); return nullptr; }
+    size_t bytes = static_cast<size_t>(st.st_size);
+    void* base = mmap(nullptr, bytes, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (base == MAP_FAILED) { ::close(fd); return nullptr; }
+    madvise(base, bytes, MADV_SEQUENTIAL);
+
+    auto* h = new MappedSignal();
+    h->fd = fd;
+    h->base = base;
+    h->bytes = bytes;
+    h->n_channels = n_channels;
+    h->dtype_code = dtype_code;
+    size_t elem = (dtype_code == 0) ? 4 : 8;
+    h->n_samples = static_cast<int64_t>(bytes / elem / n_channels);
+    return h;
+}
+
+int64_t ssq_n_samples(MappedSignal* h) { return h ? h->n_samples : -1; }
+
+void ssq_close(MappedSignal* h) {
+    if (!h) return;
+    munmap(h->base, h->bytes);
+    ::close(h->fd);
+    delete h;
+}
+
+// Fill `out[n_channels][halo_left + chunk_len + halo_right]` (float32) with
+// chunk `start..start+chunk_len` plus halos; out-of-range regions are
+// reflect-padded (matching dask map_overlap boundary='reflect' and our
+// shard_map edge handling). Parallel over channels.
+int ssq_read_chunk_f32(MappedSignal* h, int64_t start, int64_t chunk_len,
+                       int64_t halo_left, int64_t halo_right, float* out) {
+    if (!h || h->dtype_code != 0) return -1;
+    const float* data = static_cast<const float*>(h->base);
+    const int64_t N = h->n_samples;
+    const int64_t ext = halo_left + chunk_len + halo_right;
+
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t c = 0; c < h->n_channels; ++c) {
+        const float* ch = data + c * N;
+        float* dst = out + c * ext;
+        for (int64_t i = 0; i < ext; ++i) {
+            int64_t src = start - halo_left + i;
+            // reflect (no edge repeat): ..3,2,1,0 -> 1,2,3..
+            if (src < 0) src = -src;
+            if (src >= N) src = 2 * N - 2 - src;
+            if (src < 0) src = 0;           // degenerate tiny-N guard
+            if (src >= N) src = N - 1;
+            dst[i] = ch[src];
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// 2. Fused reassignment kernels (CPU oracle / fallback)
+//    Column-parallel — preserves the reference's race-free invariant
+//    (scatter writes are column-local; algos.py:183-192).
+// ---------------------------------------------------------------------------
+static inline double round_half_even(double v) {
+    return std::nearbyint(v);  // FE_TONEAREST = banker's rounding
+}
+
+// mode: 0 = log, 1 = log-piecewise, 2 = linear. Complex interleaved (re,im).
+void ssq_reassign_f64(const double* wx, const double* dwx,
+                      const double* sfs, const double* consts, int64_t na,
+                      int64_t n, int64_t nf, int32_t mode, int32_t is_stft,
+                      int32_t flipud, double gamma, double p0, double p1,
+                      double p2, double p3, int64_t idx1, double* out) {
+    const double TWO_PI = 6.283185307179586;
+    const int64_t omax = nf - 1;
+
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t j = 0; j < n; ++j) {
+        for (int64_t i = 0; i < na; ++i) {
+            const double C = wx[2 * (i * n + j)];
+            const double D = wx[2 * (i * n + j) + 1];
+            if (C * C + D * D <= gamma * gamma) continue;
+            const double A = dwx[2 * (i * n + j)];
+            const double B = dwx[2 * (i * n + j) + 1];
+            double w = (B * C - A * D) / ((C * C + D * D) * TWO_PI);
+            w = is_stft ? std::fabs(sfs[i] - w) : std::fabs(w);
+
+            int64_t k;
+            if (mode == 0) {           // log: p0=vlmin, p1=dvl
+                double kv = round_half_even(
+                    std::max((std::log2(w) - p0) / p1, 0.0));
+                k = static_cast<int64_t>(std::min(kv, (double)omax));
+            } else if (mode == 1) {    // log-piecewise: p0..p3 + idx1
+                double wl = std::log2(w);
+                if (wl > p1) {
+                    double kv = round_half_even((wl - p1) / p3) + (double)idx1;
+                    k = static_cast<int64_t>(std::min(kv, (double)omax));
+                } else {
+                    double kv = std::max(round_half_even((wl - p0) / p2), 0.0);
+                    k = static_cast<int64_t>(kv);
+                }
+            } else {                   // linear: p0=vmin, p1=dv
+                double kv = round_half_even(std::max((w - p0) / p1, 0.0));
+                k = static_cast<int64_t>(std::min(kv, (double)omax));
+            }
+            if (flipud) k = omax - k;
+            out[2 * (k * n + j)] += C * consts[i];
+            out[2 * (k * n + j) + 1] += D * consts[i];
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// 3. TKEO (reference test.rs:10-177), channel-parallel
+// ---------------------------------------------------------------------------
+void ssq_tkeo_f32(const float* x, int64_t n_channels, int64_t n,
+                  float* out) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t c = 0; c < n_channels; ++c) {
+        const float* ch = x + c * n;
+        float* dst = out + c * (n - 2);
+        for (int64_t i = 1; i + 1 < n; ++i)
+            dst[i - 1] = ch[i] * ch[i] - ch[i - 1] * ch[i + 1];
+    }
+}
+
+void ssq_tkeo_mod_f32(const float* x, int64_t n_channels, int64_t n,
+                      float* out) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t c = 0; c < n_channels; ++c) {
+        const float* ch = x + c * n;
+        float* dst = out + c * (n - 3);
+        for (int64_t i = 3; i < n; ++i)
+            dst[i - 3] = ch[i - 1] * ch[i - 2] - ch[i] * ch[i - 3];
+    }
+}
+
+}  // extern "C"
