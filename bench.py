@@ -1,12 +1,18 @@
 """Benchmark: ssq_cwt throughput on one chip, replicating the reference's
 headline config (old/examples/benchmarks.py:80-126): N=160000 float32,
-300 log-piecewise scales, default GMW, maprange='peak'.
+~300 scale rows, default GMW, maprange='peak'.
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": "MSamples/s", "vs_baseline": ...}
 
 Baseline: reference GPU (GTX 1070) 160k-ssq_cwt = 0.0856 s
           -> 1.869 MSamples/s (old/README.md:53; BASELINE.md).
+
+Timing notes: on the axon relay, `block_until_ready` does not reliably
+block and large host<->device transfers are unavailable, so each timed
+function reduces its output to a scalar on device; we enqueue K executions
+back-to-back and fetch the last scalar, dividing total wall time by K
+(device executes in order, so this amortizes dispatch latency).
 """
 import json
 import sys
@@ -14,19 +20,23 @@ import time
 
 import numpy as np
 
-BASELINE_MSPS = 160000 / 0.0856 / 1e6  # reference GPU ssq_cwt
+BASELINE = {  # seconds, reference GPU (old/README.md:47-54)
+    "160k-cwt": 0.0367,
+    "160k-stft": 0.0643,
+    "160k-ssq_cwt": 0.0856,
+    "160k-ssq_stft": 0.159,
+}
+BASELINE_MSPS = 160000 / BASELINE["160k-ssq_cwt"] / 1e6
 
 
-def _time(fn, n_warmup=2, n_runs=10):
-    import jax
-    for _ in range(n_warmup):
-        jax.block_until_ready(fn())
-    ts = []
-    for _ in range(n_runs):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        ts.append(time.perf_counter() - t0)
-    return float(np.mean(ts)), float(np.min(ts))
+def timed(fn, args, K=8):
+    """fn(*args, i) -> device scalar. Returns mean seconds per execution."""
+    out = fn(*args, 0)          # compile + run once
+    _ = float(out)
+    t0 = time.perf_counter()
+    outs = [fn(*args, i + 1) for i in range(K)]
+    _ = float(outs[-1])
+    return (time.perf_counter() - t0) / K
 
 
 def main():
@@ -43,32 +53,47 @@ def main():
 
     wavelet = Wavelet.build("gmw")
     scales = process_scales("log-piecewise", N, wavelet)[:n_rows]
+    n_rows_eff = len(scales)
 
-    ssq = jax.jit(lambda x: ssq_cwt(x, wavelet, scales=scales, fs=1.0,
-                                    dtype="float32")[0])
-    t_ssq_cwt, t_ssq_cwt_min = _time(lambda: ssq(x))
+    @jax.jit
+    def ssq_fn(x, i):
+        Tx = ssq_cwt(x + i * 1e-12, wavelet, scales=scales, fs=1.0,
+                     dtype="float32")[0]
+        return jnp.sum(jnp.abs(Tx))
 
-    cwt_fn = jax.jit(lambda x: cwt(x, wavelet, scales=scales,
-                                   dtype="float32")[0])
-    t_cwt, _ = _time(lambda: cwt_fn(x))
+    @jax.jit
+    def cwt_fn(x, i):
+        Wx = cwt(x + i * 1e-12, wavelet, scales=scales, dtype="float32")[0]
+        return jnp.sum(jnp.abs(Wx))
 
-    stft_fn = jax.jit(lambda x: stft(x, n_fft=n_fft, hop_len=1,
-                                     dtype="float32"))
-    t_stft, _ = _time(lambda: stft_fn(x), n_runs=5)
+    @jax.jit
+    def stft_fn(x, i):
+        return jnp.sum(jnp.abs(stft(x + i * 1e-12, n_fft=n_fft, hop_len=1,
+                                    dtype="float32")))
 
-    ssq_stft_fn = jax.jit(lambda x: ssq_stft(x, n_fft=n_fft,
-                                             dtype="float32")[0])
-    t_ssq_stft, _ = _time(lambda: ssq_stft_fn(x), n_runs=5)
+    @jax.jit
+    def ssq_stft_fn(x, i):
+        return jnp.sum(jnp.abs(ssq_stft(x + i * 1e-12, n_fft=n_fft,
+                                        dtype="float32")[0]))
+
+    t_ssq_cwt = timed(ssq_fn, (x,), K=8)
+    t_cwt = timed(cwt_fn, (x,), K=8)
+    t_stft = timed(stft_fn, (x,), K=4)
+    t_ssq_stft = timed(ssq_stft_fn, (x,), K=4)
 
     msps = N / t_ssq_cwt / 1e6
     extras = {
         "160k-cwt_s": round(t_cwt, 5),
         "160k-stft_s": round(t_stft, 5),
         "160k-ssq_cwt_s": round(t_ssq_cwt, 5),
-        "160k-ssq_cwt_s_min": round(t_ssq_cwt_min, 5),
         "160k-ssq_stft_s": round(t_ssq_stft, 5),
+        "speedup_vs_ref_gpu": {
+            k: round(BASELINE[k] / t, 2)
+            for k, t in [("160k-cwt", t_cwt), ("160k-stft", t_stft),
+                         ("160k-ssq_cwt", t_ssq_cwt),
+                         ("160k-ssq_stft", t_ssq_stft)]},
+        "n_rows": n_rows_eff,
         "device": str(jax.devices()[0]),
-        "n_rows": n_rows,
     }
     print(json.dumps(extras), file=sys.stderr)
     print(json.dumps({

@@ -45,7 +45,7 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile):
     gamma2 = float(gamma) ** 2
 
     def kernel(wr_ref, wi_ref, dr_ref, di_ref, const_ref, sfs_ref,
-               outr_ref, outi_ref):
+               outr_ref, outi_ref, k_ref, vr_ref, vi_ref):
         C = wr_ref[:]
         D = wi_ref[:]
         A = dr_ref[:]
@@ -84,8 +84,11 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile):
         k = jnp.where(mask, k, -1)  # masked rows never match any bin
 
         cb = const_ref[:]
-        vr = jnp.where(mask, C * cb, 0.0)
-        vi = jnp.where(mask, D * cb, 0.0)
+        # stage per-row (k, vals) in VMEM scratch; Mosaic supports dynamic
+        # ref slicing but not dynamic_slice of loop values
+        k_ref[:] = k
+        vr_ref[:] = jnp.where(mask, C * cb, 0.0)
+        vi_ref[:] = jnp.where(mask, D * cb, 0.0)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (nf, tile), 0)
 
@@ -93,12 +96,10 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile):
         outi_ref[:] = jnp.zeros((nf, tile), outi_ref.dtype)
 
         def body(i, _):
-            ki = jax.lax.dynamic_slice_in_dim(k, i, 1, axis=0)   # (1, T)
-            vri = jax.lax.dynamic_slice_in_dim(vr, i, 1, axis=0)
-            vii = jax.lax.dynamic_slice_in_dim(vi, i, 1, axis=0)
+            ki = k_ref[pl.ds(i, 1), :]    # (1, T)
             onehot = rows == ki
-            outr_ref[:] += jnp.where(onehot, vri, 0.0)
-            outi_ref[:] += jnp.where(onehot, vii, 0.0)
+            outr_ref[:] += jnp.where(onehot, vr_ref[pl.ds(i, 1), :], 0.0)
+            outi_ref[:] += jnp.where(onehot, vi_ref[pl.ds(i, 1), :], 0.0)
             return 0
 
         jax.lax.fori_loop(0, na, body, 0)
@@ -150,6 +151,9 @@ def _reassign_pallas_2d(Wx, dWx, const_arr, Sfs, *, mode, flipud, transform,
         out_specs=(bspec_out, bspec_out),
         out_shape=(jax.ShapeDtypeStruct((nf, n_pad), rdtype),
                    jax.ShapeDtypeStruct((nf, n_pad), rdtype)),
+        scratch_shapes=[pltpu.VMEM((na, TILE), jnp.int32),
+                        pltpu.VMEM((na, TILE), rdtype),
+                        pltpu.VMEM((na, TILE), rdtype)],
         interpret=interpret,
     )(wr, wi, dr, di, constb, sfsb)
 

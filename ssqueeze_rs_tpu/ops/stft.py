@@ -1,22 +1,26 @@
 """Short-Time Fourier Transform, forward & inverse (TPU-native).
 
 Design (vs reference old/ssqueezepy/_stft.py + utils/stft_utils.py):
-  * framing is one strided gather -> (..., n_segs, n_fft) tensor; the whole
-    transform is a single batched `rfft` (replaces Rayon frame loop,
-    rust/src/spectral/stft.rs:47-78, and numba `buffer`),
-  * the "modulated" (modified-STFT) variant is an `ifftshift` along the frame
-    axis — per-hop DFT cisoid centering (reference: _stft.py:84-96),
+  * framing is one strided gather -> (..., n_segs, n_fft) tensor,
+  * the windowed DFT runs as ONE MXU MATMUL for float32 and
+    n_fft <= 2048: the window, the "modulated" per-bin twiddle
+    (rfft(ifftshift(v*w))[k] = e^{2pi i k s20/n} rfft(v*w)[k]) and the
+    derivative-window scaling are all folded into a host-built DFT matrix.
+    XLA's TPU FFT falls back to Bluestein for non-power-of-2 n_fft (e.g.
+    the reference benchmark's 598) and loses ~30x to the MXU there. For
+    float64 (and large n_fft) a batched `rfft` path is used instead,
   * inverse uses Griffin-Lim least-squares overlap-add with window^win_exp
-    and the Sigma w^(exp+1) normalization (reference: _stft.py:184-256),
-  * all shape-dependent planning is static; inner functions are jit-compiled
-    per (shape, n_fft, hop) and cached by JAX.
+    and the Sigma w^(exp+1) normalization (reference: _stft.py:184-256).
+
+Windows are host numpy constants; compiled programs are cached per
+(window, n_fft, hop, flags) so matrices upload once.
 
 Orientation matches the reference: rows = frequencies, cols = time
 (Sx shape (..., n_fft//2+1, n_segs)).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -27,7 +31,10 @@ from ..scales import process_fs_and_t
 from ..utils.pad import pad_params, padsignal
 from ..utils.windows import get_window, window_norm, check_nola
 
-__all__ = ["stft", "istft", "stft_core", "get_window", "overlap_add"]
+__all__ = ["stft", "istft", "stft_core", "get_window", "overlap_add",
+           "MATMUL_NFFT_MAX"]
+
+MATMUL_NFFT_MAX = 2048
 
 
 def frame_signal(xp, n_fft: int, hop_len: int):
@@ -39,30 +46,91 @@ def frame_signal(xp, n_fft: int, hop_len: int):
     return xp[..., idx]
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop_len", "modulated",
-                                   "derivative"))
+def _dft_matrix(window, n_fft, modulated):
+    """Windowed rfft matrix W[t, k] (complex128, host)."""
+    n_freqs = n_fft // 2 + 1
+    t = np.arange(n_fft)
+    k = np.arange(n_freqs)
+    w = np.asarray(window, np.float64)
+    F = np.exp(-2j * np.pi * np.outer(t, k) / n_fft)
+    if modulated:
+        s20 = int(np.ceil(n_fft / 2))
+        F = F * np.exp(2j * np.pi * k * s20 / n_fft)[None, :]
+    return F * w[:, None]
+
+
+@lru_cache(maxsize=128)
+def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
+                  derivative, dtype_str):
+    """Build & jit an STFT program with the window folded in as constants."""
+    window = np.frombuffer(win_bytes, dtype=np.float64)
+    diff_window = (np.frombuffer(dwin_bytes, dtype=np.float64)
+                   if dwin_bytes is not None else None)
+    rdtype = np.dtype(dtype_str)
+    use_matmul = (rdtype == np.float32 and n_fft <= MATMUL_NFFT_MAX)
+
+    if use_matmul:
+        F1 = _dft_matrix(window, n_fft, modulated)
+        W1r = jnp.asarray(F1.real.astype(rdtype))
+        W1i = jnp.asarray(F1.imag.astype(rdtype))
+        if derivative:
+            F2 = _dft_matrix(diff_window, n_fft, modulated)
+            W2r = jnp.asarray(F2.real.astype(rdtype))
+            W2i = jnp.asarray(F2.imag.astype(rdtype))
+
+        dot = partial(jnp.dot, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+        @jax.jit
+        def run(xp, fs):
+            frames = frame_signal(xp, n_fft, hop_len)
+            Sx = jax.lax.complex(dot(frames, W1r), dot(frames, W1i))
+            Sx = jnp.swapaxes(Sx, -1, -2)
+            if derivative:
+                dSx = jax.lax.complex(dot(frames, W2r), dot(frames, W2i))
+                dSx = jnp.swapaxes(dSx, -1, -2) * fs
+                return Sx, dSx
+            return Sx, None
+    else:
+        win_j = jnp.asarray(window.astype(rdtype))
+        dwin_j = (jnp.asarray(diff_window.astype(rdtype)) if derivative
+                  else None)
+
+        @jax.jit
+        def run(xp, fs):
+            frames = frame_signal(xp, n_fft, hop_len)
+
+            def _one(win, scale=None):
+                fw = frames * win
+                if modulated:
+                    fw = jnp.fft.ifftshift(fw, axes=-1)
+                S = jnp.fft.rfft(fw, axis=-1)
+                if scale is not None:
+                    S = S * scale
+                return jnp.swapaxes(S, -1, -2)
+
+            Sx = _one(win_j)
+            if derivative:
+                return Sx, _one(dwin_j, scale=fs)
+            return Sx, None
+
+    return run
+
+
 def stft_core(xp, window, diff_window, fs, *, n_fft, hop_len, modulated,
               derivative):
     """STFT of an already-padded signal (time = last axis).
 
-    Returns Sx (and dSx if `derivative`) with shape (..., n_freqs, n_segs).
+    `window`/`diff_window` are HOST numpy arrays (folded into the compiled
+    program). Returns Sx (and dSx if `derivative`), shape
+    (..., n_freqs, n_segs).
     """
-    frames = frame_signal(xp, n_fft, hop_len)
-
-    def _one(win, scale=None):
-        fw = frames * win
-        if modulated:
-            fw = jnp.fft.ifftshift(fw, axes=-1)
-        S = jnp.fft.rfft(fw, axis=-1)
-        if scale is not None:
-            S = S * scale
-        return jnp.swapaxes(S, -1, -2)
-
-    Sx = _one(window)
-    if derivative:
-        dSx = _one(diff_window, scale=fs)
-        return Sx, dSx
-    return Sx, None
+    win_bytes = np.asarray(window, np.float64).tobytes()
+    dwin_bytes = (np.asarray(diff_window, np.float64).tobytes()
+                  if (derivative and diff_window is not None) else None)
+    run = _stft_program(win_bytes, dwin_bytes, int(n_fft), int(hop_len),
+                        bool(modulated), bool(derivative), str(xp.dtype))
+    return run(xp, jnp.asarray(fs, dtype=xp.dtype))
 
 
 def stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None, t=None,
@@ -89,8 +157,7 @@ def stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None, t=None,
     padlength = N + n_fft - 1
     xp = padsignal(x, padtype, padlength=padlength)
 
-    Sx, dSx = stft_core(xp, jnp.asarray(window), jnp.asarray(diff_window),
-                        jnp.asarray(fs, dtype=dtype), n_fft=n_fft,
+    Sx, dSx = stft_core(xp, window, diff_window, fs, n_fft=n_fft,
                         hop_len=hop_len, modulated=modulated,
                         derivative=derivative)
     return (Sx, dSx) if derivative else Sx

@@ -127,13 +127,9 @@ def chunked_stft(x, mesh: Mesh, window=None, n_fft=None, win_len=None,
     _, n1, n2 = pad_params(N, N + n_fft - 1)
     Hl, Hr = n1, n2
 
-    win_j = jnp.asarray(window)
-    dwin_j = jnp.asarray(diff_window)
-    fs_j = jnp.asarray(fs, dtype=dtype)
-
     def shard_fn(xs):
         xe = halo_extend(xs, axis_name, n_shards, Hl, Hr)
-        Sx, dSx = stft_core(xe, win_j, dwin_j, fs_j, n_fft=n_fft,
+        Sx, dSx = stft_core(xe, window, diff_window, float(fs), n_fft=n_fft,
                             hop_len=hop_len, modulated=modulated,
                             derivative=derivative)
         return (Sx, dSx) if derivative else Sx

@@ -86,3 +86,25 @@ def test_istft_batched():
     xr = np.asarray(istft(S, N=128, **kw))
     assert xr.shape == X.shape
     assert np.abs(X - xr).mean() < 1e-13
+
+
+def test_stft_matmul_matches_fft_path(monkeypatch):
+    """float32 MXU-matmul DFT == float32 rfft path (within f32 accumulation
+    error) and == float64 reference."""
+    import importlib
+    stft_mod = importlib.import_module("ssqueeze_rs_tpu.ops.stft")
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(1000)
+    for n_fft, hop, modulated in [(598, 1, True), (512, 4, True),
+                                  (121, 3, False)]:
+        kw = dict(window="hann", n_fft=n_fft, hop_len=hop,
+                  modulated=modulated)
+        S64 = np.asarray(stft(x, dtype="float64", **kw))
+        S32m = np.asarray(stft(x, dtype="float32", derivative=True, **kw)[0])
+        stft_mod._stft_program.cache_clear()
+        monkeypatch.setattr(stft_mod, "MATMUL_NFFT_MAX", 0)
+        S32f = np.asarray(stft(x, dtype="float32", **kw))
+        stft_mod._stft_program.cache_clear()
+        scale = np.abs(S64).max()
+        assert np.abs(S32m - S64).max() / scale < 5e-6, (n_fft, hop)
+        assert np.abs(S32m - S32f).max() / scale < 5e-6, (n_fft, hop)
