@@ -70,35 +70,51 @@ def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
     use_matmul = (rdtype == np.float32 and n_fft <= MATMUL_NFFT_MAX)
 
     if use_matmul:
+        # one strided conv computes every DFT bin of every frame on the MXU
+        # — no frame gather ever materializes (TPU gathers serialize).
+        # kernel: (out_ch, in_ch=1, n_fft); out channels = [Sx_r, Sx_i,
+        # (dSx_r, dSx_i)] stacked.
+        n_freqs = n_fft // 2 + 1
         F1 = _dft_matrix(window, n_fft, modulated)
-        W1r = jnp.asarray(F1.real.astype(rdtype))
-        W1i = jnp.asarray(F1.imag.astype(rdtype))
+        mats = [F1.real.T, F1.imag.T]          # (n_freqs, n_fft) each
         if derivative:
             F2 = _dft_matrix(diff_window, n_fft, modulated)
-            W2r = jnp.asarray(F2.real.astype(rdtype))
-            W2i = jnp.asarray(F2.imag.astype(rdtype))
-
-        dot = partial(jnp.dot, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=jnp.float32)
+            mats += [F2.real.T, F2.imag.T]
+        # keep as numpy: converting inside `run` avoids tracer leaks when
+        # the program is built within an outer jit trace
+        K_np = np.concatenate(mats, axis=0)[:, None, :].astype(rdtype)
 
         @jax.jit
         def run(xp, fs):
-            frames = frame_signal(xp, n_fft, hop_len)
-            Sx = jax.lax.complex(dot(frames, W1r), dot(frames, W1i))
-            Sx = jnp.swapaxes(Sx, -1, -2)
+            batch_shape = xp.shape[:-1]
+            L = xp.shape[-1]
+            lhs = xp.reshape((-1, 1, L))
+            out = jax.lax.conv_general_dilated(
+                lhs, jnp.asarray(K_np), window_strides=(hop_len,),
+                padding="VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            # NOTE: HIGHEST = full f32 on MXU (6-pass); HIGH (bf16_3x)
+            # halves conv time but fails the 5e-6 DFT accuracy bar.
+            n_segs = out.shape[-1]
+            out = out.reshape(batch_shape + (len(mats) * n_freqs, n_segs))
+            Sx = jax.lax.complex(out[..., 0:n_freqs, :],
+                                 out[..., n_freqs:2 * n_freqs, :])
             if derivative:
-                dSx = jax.lax.complex(dot(frames, W2r), dot(frames, W2i))
-                dSx = jnp.swapaxes(dSx, -1, -2) * fs
+                dSx = jax.lax.complex(out[..., 2 * n_freqs:3 * n_freqs, :],
+                                      out[..., 3 * n_freqs:, :]) * fs
                 return Sx, dSx
             return Sx, None
     else:
-        win_j = jnp.asarray(window.astype(rdtype))
-        dwin_j = (jnp.asarray(diff_window.astype(rdtype)) if derivative
-                  else None)
+        win_np = window.astype(rdtype)
+        dwin_np = diff_window.astype(rdtype) if derivative else None
 
         @jax.jit
         def run(xp, fs):
             frames = frame_signal(xp, n_fft, hop_len)
+            win_j = jnp.asarray(win_np)
+            dwin_j = jnp.asarray(dwin_np) if derivative else None
 
             def _one(win, scale=None):
                 fw = frames * win
