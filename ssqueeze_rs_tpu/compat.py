@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .ops import stft as _stft_mod
+from .ops.stft import stft as _stft_fn
 from .ops.cwt import cwt as _cwt, icwt as _icwt
 from .ops.ssq_cwt import ssq_cwt as _ssq_cwt
 from .ops.ssq_stft import ssq_stft as _ssq_stft
@@ -58,7 +58,7 @@ def stft(x, n_fft, hop_length, window, padtype="reflect"):
     """(Sx, freqs) with freqs = linspace(0, 0.5, n_fft//2+1)
     (reference: rust/src/spectral/stft.rs:11-95; unmodulated)."""
     window = np.asarray(window)
-    Sx = _stft_mod.stft(x, window=window, n_fft=n_fft, hop_len=hop_length,
+    Sx = _stft_fn(x, window=window, n_fft=n_fft, hop_len=hop_length,
                         win_len=len(window), padtype=padtype,
                         modulated=False, dtype="float64")
     freqs = np.linspace(0, 0.5, n_fft // 2 + 1)

@@ -38,6 +38,45 @@ DEFAULTS = {
 }
 
 
+def load_config_ini(path) -> dict:
+    """Third config tier: load defaults overrides from an ini file
+    (reference parity: old/ssqueezepy/configs.py:27-124, configs.ini).
+
+    Sections are DEFAULTS keys ('morlet', 'gmw', 'make_scales', ...);
+    a [global] section may set 'dtype'. Returns the updated DEFAULTS.
+    """
+    import configparser
+
+    cp = configparser.ConfigParser()
+    cp.read(str(path))
+    for section in cp.sections():
+        if section == "global":
+            if cp.has_option(section, "dtype"):
+                DEFAULTS["dtype"] = cp.get(section, "dtype")
+            continue
+        tgt = DEFAULTS.setdefault(section, {})
+        for k, v in cp.items(section):
+            try:
+                tgt[k] = float(v) if "." in v or "e" in v.lower() else int(v)
+            except ValueError:
+                tgt[k] = v
+    return DEFAULTS
+
+
+def enable_persistent_cache(directory="~/.cache/ssqueeze_rs_tpu_xla"):
+    """Persist compiled XLA executables across sessions — the TPU analog of
+    the reference's pyFFTW wisdom files (old/ssqueezepy/utils/
+    fft_utils.py:104-133): plans survive process restarts.
+    """
+    import jax
+
+    path = os.path.expanduser(directory)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return path
+
+
 def use_x64() -> bool:
     """Whether float64 paths are requested (env flag ``SSQ_TPU_X64=1``).
 

@@ -47,6 +47,11 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
     Sx, dSx = stft(x, window, n_fft=n_fft, win_len=win_len, hop_len=hop_len,
                    fs=fs, padtype=padtype, modulated=modulated,
                    derivative=True, dtype=dtype)
+    # keep the MXU conv and the reassignment kernel in separate XLA
+    # computations: fusing the conv's output transforms into the Pallas
+    # operand prep regresses the conv ~10x
+    import jax
+    Sx, dSx = jax.lax.optimization_barrier((Sx, dSx))
 
     Sfs = make_Sfs(Sx, fs)
     if gamma is None:

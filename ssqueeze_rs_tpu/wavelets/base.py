@@ -140,6 +140,30 @@ class Wavelet:
     def harea(self, scale=None, N=1024):
         return self.std_t(scale, N) * self.std_w(scale, N)
 
+    def info(self, nondim=True, N=1024):
+        """Print time & frequency resolution summary
+        (reference parity: wavelets.py:297-332)."""
+        if nondim:
+            std_t, std_w = self.std_t(N=N), self.std_w(N=N)
+            wc, wc_txt = self.wc_ct, "wc_ct, (cycles*radians)"
+            dim_t = dim_w = "non-dimensional"
+        else:
+            std_t = self.std_t(N=N, nondim=False)
+            std_w = self.std_w(N=N, nondim=False)
+            from .props import center_frequency
+            wc = center_frequency(self, scale=self.scalec_ct, N=N,
+                                  kind="energy")
+            wc_txt = f"wc, (cycles*radians)/samples; scale={self.scalec_ct:.2f}"
+            dim_t = "samples/(cycles*radians)"
+            dim_w = "(cycles*radians)/samples"
+        cfg = ", ".join(f"{k}={v}" for k, v in self.config.items()
+                        if k not in ("norm", "centered_scale", "dtype"))
+        print(f"{self.name} wavelet\n\t{cfg or 'Default configs'}\n"
+              f"\tCenter frequency: {wc:<10.6f} [{wc_txt}]\n"
+              f"\tTime resolution:  {std_t:<10.6f} [std_t, {dim_t}]\n"
+              f"\tFreq resolution:  {std_w:<10.6f} [std_w, {dim_w}]\n"
+              f"\tHeisenberg area:  {std_t * std_w:.12f}")
+
 
 @lru_cache(maxsize=256)
 def _cached_wavelet(name, params):

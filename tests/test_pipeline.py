@@ -1,0 +1,98 @@
+"""Streaming process_recording pipeline + misc parity utilities."""
+import numpy as np
+import pytest
+
+from ssqueeze_rs_tpu import stft, cwt, native
+from ssqueeze_rs_tpu.parallel.pipeline import process_recording
+from ssqueeze_rs_tpu.utils.closest import (find_closest, find_closest_brute,
+                                           find_closest_log,
+                                           find_closest_lin)
+
+
+def test_process_recording_stft_matches_full():
+    rng = np.random.default_rng(0)
+    C, N = 2, 8192
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    n_fft, hop = 256, 4
+
+    out, meta = process_recording(x, transform="stft", fs=1000.0,
+                                  chunk_len=2048, n_fft=n_fft,
+                                  hop_len=hop, window="hann",
+                                  dtype="float64")
+    ref = np.asarray(stft(x, window="hann", n_fft=n_fft, hop_len=hop,
+                          dtype="float64"))
+    assert out.shape == ref.shape, (out.shape, ref.shape)
+    # interior halo (n_fft) >= frame support: bit-level equality except at
+    # chunk-edge frames whose reflect context differs from global pad
+    err = np.abs(out - ref) / np.abs(ref).max()
+    assert np.median(err) < 1e-12
+    assert (err > 1e-6).mean() < 0.02
+
+
+def test_process_recording_ssq_cwt_runs():
+    rng = np.random.default_rng(1)
+    N = 4096
+    t = np.linspace(0, 4, N, endpoint=False)
+    x = np.cos(2 * np.pi * 50 * t)
+    out, meta = process_recording(x, transform="ssq_cwt", fs=N / 4,
+                                  chunk_len=2048, wavelet="gmw",
+                                  scales="log", dtype="float64")
+    assert out.shape[-1] == N
+    assert "ssq_freqs" in meta and "scales" in meta
+    assert np.isfinite(out).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="no native lib")
+def test_process_recording_from_file(tmp_path):
+    rng = np.random.default_rng(2)
+    C, N = 2, 6000
+    data = rng.standard_normal((C, N)).astype(np.float32)
+    p = tmp_path / "rec.f32"
+    data.tofile(p)
+    out, meta = process_recording(p, transform="stft", n_channels=C,
+                                  fs=1000.0, chunk_len=2000, n_fft=128,
+                                  hop_len=2, window="hann", dtype="float32")
+    ref = np.asarray(stft(data, window="hann", n_fft=128, hop_len=2,
+                          dtype="float32"))
+    assert out.shape == ref.shape
+
+
+def test_find_closest_variants():
+    rng = np.random.default_rng(3)
+    a = np.abs(rng.standard_normal((20, 50))) + 0.01
+    v_log = np.geomspace(0.01, 5.0, 64)
+    v_lin = np.linspace(0.01, 5.0, 64)
+
+    brute_log = find_closest_brute(np.log2(a), np.log2(v_log))
+    smart = find_closest(a, v_log, logscale=True)
+    assert np.array_equal(brute_log, smart)
+
+    analytic = find_closest_log(a, v_log)
+    # analytic may differ by at most 1 bin at boundaries (float rounding)
+    assert np.abs(analytic - brute_log).max() <= 1
+
+    brute_lin = find_closest_brute(a, v_lin)
+    analytic_lin = find_closest_lin(a, v_lin)
+    assert np.abs(analytic_lin - brute_lin).max() <= 1
+
+
+def test_config_ini_loader(tmp_path):
+    from ssqueeze_rs_tpu.config import DEFAULTS, load_config_ini
+    ini = tmp_path / "cfg.ini"
+    ini.write_text("[gmw]\nbeta = 20.0\n[make_scales]\ndownsample = 8\n")
+    old_beta = DEFAULTS["gmw"]["beta"]
+    old_ds = DEFAULTS["make_scales"]["downsample"]
+    try:
+        load_config_ini(ini)
+        assert DEFAULTS["gmw"]["beta"] == 20.0
+        assert DEFAULTS["make_scales"]["downsample"] == 8
+    finally:
+        DEFAULTS["gmw"]["beta"] = old_beta
+        DEFAULTS["make_scales"]["downsample"] = old_ds
+
+
+def test_wavelet_info(capsys):
+    from ssqueeze_rs_tpu import Wavelet
+    Wavelet.build(("gmw", {"beta": 8.0})).info()
+    out = capsys.readouterr().out
+    assert "Heisenberg area" in out
