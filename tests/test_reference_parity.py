@@ -1,0 +1,194 @@
+"""Direct numerical parity vs the vendored reference (ssqueezepy, running
+pure-Python via a numba no-op stub — the reference's own coverage trick,
+old/tests/z_all_test.py:8-51).
+
+These tests import PUBLIC reference code read-only as an oracle; our
+implementation is independent (JAX, batched tensor programs).
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+# -- numba stub + reference import (module scope) ---------------------------
+_numba = types.ModuleType("numba")
+
+
+def _jit(*a, **k):
+    if a and callable(a[0]):
+        return a[0]
+    def deco(f):
+        return f
+    return deco
+
+
+_numba.jit = _jit
+_numba.njit = _jit
+_numba.prange = range
+sys.modules.setdefault("numba", _numba)
+sys.path.insert(0, "/root/reference/old")
+
+ssq_ref = pytest.importorskip("ssqueezepy")
+
+import ssqueeze_rs_tpu as sq  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def x64():
+    return np.random.RandomState(42).randn(1024)
+
+
+def test_window_parity():
+    from ssqueezepy._stft import get_window as ref_get_window
+    for name, wl, nfft in [("hann", 128, 128), ("hamming", 100, 128),
+                           (None, 128, 128)]:
+        w_ref, dw_ref = ref_get_window(name, wl, nfft, derivative=True,
+                                       dtype="float64")
+        w_ours, dw_ours = sq.get_window(name, wl, nfft, derivative=True,
+                                        dtype="float64")
+        assert np.allclose(w_ours, w_ref, atol=1e-15), (name, wl)
+        assert np.allclose(dw_ours, dw_ref, atol=1e-12), (name, wl)
+
+
+def test_stft_parity(x64):
+    for n_fft, hop, modulated in [(128, 1, True), (128, 4, True),
+                                  (121, 3, False), (120, 2, True)]:
+        ref = ssq_ref.stft(x64, n_fft=n_fft, hop_len=hop,
+                           modulated=modulated, dtype="float64")
+        ours = np.asarray(sq.stft(x64, n_fft=n_fft, hop_len=hop,
+                                  modulated=modulated, dtype="float64"))
+        assert ours.shape == ref.shape
+        err = np.abs(ours - ref).max() / np.abs(ref).max()
+        assert err < 1e-12, (n_fft, hop, modulated, err)
+
+
+def test_istft_parity(x64):
+    Sx = ssq_ref.stft(x64, n_fft=128, hop_len=2, dtype="float64")
+    ref = ssq_ref.istft(Sx, n_fft=128, hop_len=2, N=len(x64))
+    ours = np.asarray(sq.istft(np.asarray(Sx), n_fft=128, hop_len=2,
+                               N=len(x64)))
+    assert np.abs(ours - ref).max() < 1e-12
+
+
+def test_scales_parity(x64):
+    """Scale grids (bounds heuristics + log-piecewise downsampling) match."""
+    from ssqueezepy.utils import process_scales as ref_process_scales
+    from ssqueezepy import Wavelet as RefWavelet
+    for scheme in ("log", "log-piecewise"):
+        for beta in (8.0, 60.0):
+            ref_wav = RefWavelet(("gmw", {"beta": beta, "dtype": "float64"}))
+            ref_scales = ref_process_scales(scheme, 1024, ref_wav, nv=16)
+            ours = sq.process_scales(scheme, 1024,
+                                     ("gmw", {"beta": beta}), nv=16)
+            assert ours.shape == ref_scales.shape, (scheme, beta)
+            assert np.allclose(ours, ref_scales, rtol=1e-6), (scheme, beta)
+
+
+def test_cwt_parity(x64):
+    for scales in ("log", "log-piecewise"):
+        for l1_norm in (True, False):
+            Wr, sr = ssq_ref.cwt(x64, ("gmw", {"dtype": "float64"}),
+                                 scales=scales, nv=16, l1_norm=l1_norm)
+            Wo, so = sq.cwt(x64, "gmw", scales=scales, nv=16,
+                            l1_norm=l1_norm, dtype="float64")
+            assert Wo.shape == Wr.shape, (scales, l1_norm)
+            assert np.allclose(so, sr.squeeze(), rtol=1e-6)
+            err = np.abs(np.asarray(Wo) - Wr).max() / np.abs(Wr).max()
+            assert err < 1e-10, (scales, l1_norm, err)
+
+
+def test_cwt_derivative_parity(x64):
+    Wr, sr, dWr = ssq_ref.cwt(x64, ("gmw", {"dtype": "float64"}),
+                              scales="log", nv=16, derivative=True, fs=100.0)
+    Wo, so, dWo = sq.cwt(x64, "gmw", scales="log", nv=16, derivative=True,
+                         fs=100.0, dtype="float64")
+    err = np.abs(np.asarray(dWo) - dWr).max() / np.abs(dWr).max()
+    assert err < 1e-10, err
+
+
+def test_icwt_parity(x64):
+    Wr, sr = ssq_ref.cwt(x64, ("gmw", {"dtype": "float64"}), scales="log",
+                         nv=16)
+    ref = ssq_ref.icwt(Wr, ("gmw", {"dtype": "float64"}), scales="log",
+                       nv=16)
+    ours = np.asarray(sq.icwt(np.asarray(Wr), "gmw", scales="log", nv=16))
+    assert np.abs(ours - ref).max() / np.abs(ref).max() < 1e-6
+
+
+def test_phase_cwt_parity(x64):
+    Wr, sr, dWr = ssq_ref.cwt(x64, ("gmw", {"dtype": "float64"}),
+                              scales="log", nv=16, derivative=True)
+    from ssqueezepy._ssq_cwt import phase_cwt as ref_phase
+    gamma = 1e-8
+    wr = ref_phase(Wr.copy(), dWr, "trig", gamma)
+    wo = np.asarray(sq.phase_cwt(np.asarray(Wr), np.asarray(dWr), "trig",
+                                 gamma))
+    fin = np.isfinite(wr)
+    assert np.array_equal(fin, np.isfinite(np.asarray(wo)))
+    assert np.allclose(wo[fin], wr[fin], rtol=1e-10)
+
+
+def test_ssq_cwt_parity(x64):
+    """End-to-end Tx: same scales, ssq_freqs and (nearly) identical Tx."""
+    kw = dict(scales="log", nv=16, fs=200.0)
+    Tr, Wr, fr, sr = ssq_ref.ssq_cwt(x64, ("gmw", {"dtype": "float64"}),
+                                     **kw)
+    To, Wo, fo, so = sq.ssq_cwt(x64, "gmw", dtype="float64", **kw)
+    assert To.shape == Tr.shape
+    assert np.allclose(fo, fr, rtol=1e-6)
+    assert np.allclose(so, sr.squeeze(), rtol=1e-6)
+    # bin decisions may flip on exact boundaries; mass must match closely
+    rel = np.abs(np.asarray(To) - Tr).sum() / np.abs(Tr).sum()
+    assert rel < 1e-6, rel
+
+
+def test_ssq_stft_parity(x64):
+    Tr, Sr, fr, Sfsr = ssq_ref.ssq_stft(x64, n_fft=128, dtype="float64")
+    To, So, fo, Sfso = sq.ssq_stft(x64, n_fft=128, dtype="float64")
+    assert To.shape == Tr.shape
+    assert np.allclose(np.asarray(So), Sr, atol=1e-12)
+    assert np.allclose(fo, fr)
+    rel = np.abs(np.asarray(To) - Tr).sum() / np.abs(Tr).sum()
+    assert rel < 1e-6, rel
+
+
+def test_issq_cwt_parity(x64):
+    Tr, *_ = ssq_ref.ssq_cwt(x64, ("gmw", {"dtype": "float64"}),
+                             scales="log", nv=16)
+    ref = ssq_ref.issq_cwt(Tr, ("gmw", {"dtype": "float64"}))
+    ours = np.asarray(sq.issq_cwt(np.asarray(Tr), "gmw"))
+    assert np.abs(ours - ref).max() / np.abs(ref).max() < 1e-6
+
+
+def test_center_frequency_and_adm_parity():
+    from ssqueezepy import Wavelet as RefWavelet
+    from ssqueezepy.utils import adm_ssq as ref_adm_ssq, adm_cwt as ref_adm_cwt
+    from ssqueezepy.wavelets import center_frequency as ref_cf
+
+    for beta in (8.0, 60.0):
+        ref_wav = RefWavelet(("gmw", {"beta": beta, "dtype": "float64"}))
+        our_wav = sq.Wavelet.build(("gmw", {"beta": beta}))
+        for kind in ("peak", "energy"):
+            r = ref_cf(ref_wav, scale=10.0, N=1024, kind=kind)
+            o = sq.center_frequency(our_wav, scale=10.0, N=1024, kind=kind)
+            assert np.isclose(o, r, rtol=1e-6), (beta, kind)
+        assert np.isclose(sq.adm_ssq(our_wav), ref_adm_ssq(ref_wav),
+                          rtol=1e-6), beta
+        assert np.isclose(sq.adm_cwt(our_wav), ref_adm_cwt(ref_wav),
+                          rtol=1e-6), beta
+
+
+def test_ridge_parity():
+    from ssqueezepy.ridge_extraction import extract_ridges as ref_extract
+    N = 512
+    t = np.linspace(0, 1, N, endpoint=False)
+    x = np.cos(2 * np.pi * (20 * t + 40 * t**2))
+    Wx, scales = sq.cwt(x, ("gmw", {"beta": 8.0}), scales="log", nv=16,
+                        dtype="float64")
+    Wx = np.asarray(Wx)
+    ref = ref_extract(Wx, np.asarray(scales).reshape(-1, 1), penalty=2.0,
+                      n_ridges=1, bw=15, parallel=False)
+    ours = sq.extract_ridges(Wx, scales, penalty=2.0, n_ridges=1, bw=15)
+    agree = (ref.squeeze() == ours.squeeze()).mean()
+    assert agree > 0.95, agree
