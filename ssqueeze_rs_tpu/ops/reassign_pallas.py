@@ -116,7 +116,8 @@ def _reassign_pallas_2d(Wx, dWx, const_arr, Sfs, *, mode, flipud, transform,
     na, n = Wx.shape
     rdtype = jnp.float32 if Wx.dtype == jnp.complex64 else jnp.float64
 
-    TILE = 512
+    import os
+    TILE = int(os.environ.get("SSQ_TPU_REASSIGN_TILE", "512"))
     n_pad = int(np.ceil(n / TILE)) * TILE
     pad = n_pad - n
 
