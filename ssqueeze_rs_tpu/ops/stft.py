@@ -70,35 +70,34 @@ def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
     use_matmul = (rdtype == np.float32 and n_fft <= MATMUL_NFFT_MAX)
 
     if use_matmul:
-        # one strided conv computes every DFT bin of every frame on the MXU
-        # — no frame gather ever materializes (TPU gathers serialize).
-        # kernel: (out_ch, in_ch=1, n_fft); out channels = [Sx_r, Sx_i,
-        # (dSx_r, dSx_i)] stacked.
+        # frames built as n_fft strided SLICES stacked on the minor axis
+        # (cheap contiguous copies — never an XLA gather, which serializes
+        # on TPU), then every DFT bin of every frame comes from one MXU
+        # matmul. (A lax.conv formulation is equally fast alone but
+        # pathologically deoptimizes when a Mosaic kernel shares the
+        # module, hence slices+dot.)
         n_freqs = n_fft // 2 + 1
         F1 = _dft_matrix(window, n_fft, modulated)
-        mats = [F1.real.T, F1.imag.T]          # (n_freqs, n_fft) each
+        mats = [F1.real, F1.imag]              # (n_fft, n_freqs) each
         if derivative:
             F2 = _dft_matrix(diff_window, n_fft, modulated)
-            mats += [F2.real.T, F2.imag.T]
+            mats += [F2.real, F2.imag]
         # keep as numpy: converting inside `run` avoids tracer leaks when
         # the program is built within an outer jit trace
-        K_np = np.concatenate(mats, axis=0)[:, None, :].astype(rdtype)
+        K_np = np.concatenate(mats, axis=1).astype(rdtype)  # (n_fft, k*nf)
 
         @jax.jit
         def run(xp, fs):
-            batch_shape = xp.shape[:-1]
             L = xp.shape[-1]
-            lhs = xp.reshape((-1, 1, L))
-            out = jax.lax.conv_general_dilated(
-                lhs, jnp.asarray(K_np), window_strides=(hop_len,),
-                padding="VALID",
-                dimension_numbers=("NCH", "OIH", "NCH"),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            # NOTE: HIGHEST = full f32 on MXU (6-pass); HIGH (bf16_3x)
-            # halves conv time but fails the 5e-6 DFT accuracy bar.
-            n_segs = out.shape[-1]
-            out = out.reshape(batch_shape + (len(mats) * n_freqs, n_segs))
+            n_segs = (L - n_fft) // hop_len + 1
+            span = (n_segs - 1) * hop_len + 1
+            cols = [jax.lax.slice_in_dim(xp, t, t + span, hop_len, axis=-1)
+                    for t in range(n_fft)]
+            frames = jnp.stack(cols, axis=-1)  # (..., n_segs, n_fft)
+            out = jnp.dot(frames, jnp.asarray(K_np),
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+            out = jnp.swapaxes(out, -1, -2)    # (..., k*n_freqs, n_segs)
             Sx = jax.lax.complex(out[..., 0:n_freqs, :],
                                  out[..., n_freqs:2 * n_freqs, :])
             if derivative:
