@@ -90,14 +90,34 @@ def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
         def run(xp, fs):
             L = xp.shape[-1]
             n_segs = (L - n_fft) // hop_len + 1
-            span = (n_segs - 1) * hop_len + 1
-            cols = [jax.lax.slice_in_dim(xp, t, t + span, hop_len, axis=-1)
-                    for t in range(n_fft)]
-            frames = jnp.stack(cols, axis=-1)  # (..., n_segs, n_fft)
-            out = jnp.dot(frames, jnp.asarray(K_np),
-                          precision=jax.lax.Precision.HIGHEST,
-                          preferred_element_type=jnp.float32)
-            out = jnp.swapaxes(out, -1, -2)    # (..., k*n_freqs, n_segs)
+            batch = xp.shape[:-1]
+            # framesT[..., j, i] = xp[..., j + i*hop]; built by a scan of
+            # n_fft in-place row writes (contiguous reads+writes; keeps the
+            # traced graph tiny — an unrolled 598-slice stack compiles for
+            # minutes on remote-compile setups)
+            if hop_len > 1:
+                xp = jnp.pad(xp, [(0, 0)] * len(batch) +
+                             [(0, hop_len - 1)])
+
+            def row(j):
+                seg = jax.lax.dynamic_slice_in_dim(
+                    xp, j, n_segs * hop_len, axis=-1)
+                if hop_len > 1:
+                    seg = seg.reshape(batch + (n_segs, hop_len))[..., 0]
+                return seg
+
+            def body(buf, j):
+                buf = jax.lax.dynamic_update_index_in_dim(
+                    buf, row(j), j, axis=-2)
+                return buf, None
+
+            init = jnp.zeros(batch + (n_fft, n_segs), xp.dtype)
+            framesT, _ = jax.lax.scan(body, init, jnp.arange(n_fft))
+
+            out = jnp.einsum("fk,...kn->...fn", jnp.asarray(K_np.T),
+                             framesT,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
             Sx = jax.lax.complex(out[..., 0:n_freqs, :],
                                  out[..., n_freqs:2 * n_freqs, :])
             if derivative:
