@@ -111,7 +111,10 @@ def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
                     buf, row(j), j, axis=-2)
                 return buf, None
 
-            init = jnp.zeros(batch + (n_fft, n_segs), xp.dtype)
+            # derive init from xp so its sharding/varying axes match the
+            # scan body output under shard_map
+            init = (jnp.zeros(batch + (n_fft, n_segs), xp.dtype)
+                    + 0 * xp[..., :1, None])
             framesT, _ = jax.lax.scan(body, init, jnp.arange(n_fft))
 
             out = jnp.einsum("fk,...kn->...fn", jnp.asarray(K_np.T),
