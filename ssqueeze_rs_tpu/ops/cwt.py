@@ -40,32 +40,50 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
              l1_norm: bool, N: int, n1: int, rpadded: bool):
     """CWT of an already-padded signal. xp: (..., M); returns (..., na, N)."""
     M = xp.shape[-1]
-    xh = jnp.fft.fft(xp, axis=-1)
-    Psih = wavelet.sample(scales, M, xp=jnp, nohalf=False)
-    Psih = Psih.astype(complex_dtype(xp.dtype))
+    from .fft_mxu import (ifft_mxu_halfband, use_mxu_fft, best_split)
+    mxu = (xp.dtype == jnp.float32 and use_mxu_fft() and
+           best_split(M) is not None)
 
-    from .fft_mxu import ifft_mxu, use_mxu_fft, best_split
-    if (xp.dtype == jnp.float32 and use_mxu_fft() and
-            best_split(M) is not None):
-        _ifft = ifft_mxu  # four-step MXU iFFT (fft_mxu.py)
+    if mxu:
+        # analytic wavelets: psih == 0 for negative frequencies, so the
+        # product spectrum is half-band. Sample/multiply only bins
+        # 0..M/2 and invert via the half-band MXU four-step (25% fewer
+        # stage-1 MACs, half the filterbank build & multiply traffic).
+        xh = jnp.fft.rfft(xp, axis=-1)                    # (..., M/2+1)
+        Psih = wavelet.sample(scales, M, xp=jnp, nohalf=False, half=True)
+        Psih = Psih.astype(complex_dtype(xp.dtype))
+        Psih_xh = Psih * xh[..., None, :]
+        keep = None if rpadded else (n1, N)   # fuse unpad into stage 2
+        if derivative:
+            xi = xifn(1, M, xp=jnp)[:M // 2 + 1].astype(xp.dtype)
+            both = jnp.concatenate(
+                [Psih_xh, Psih_xh * (1j * xi / dt)], axis=-2)
+            Wboth = ifft_mxu_halfband(both, keep=keep)
+            na = Psih.shape[-2]
+            Wx, dWx = Wboth[..., :na, :], Wboth[..., na:, :]
+        else:
+            Wx = ifft_mxu_halfband(Psih_xh, keep=keep)
     else:
+        xh = jnp.fft.fft(xp, axis=-1)
+        Psih = wavelet.sample(scales, M, xp=jnp, nohalf=False)
+        Psih = Psih.astype(complex_dtype(xp.dtype))
         _ifft = lambda z: jnp.fft.ifft(z, axis=-1)
 
-    Psih_xh = Psih * xh[..., None, :]
-    if derivative:
-        # one fused batched iFFT over [spectra; derivative spectra] — the
-        # FFT amortizes its passes better over one larger batch
-        # (~20% faster than two calls)
-        xi = xifn(1, M, xp=jnp).astype(xp.dtype)
-        both = jnp.concatenate([Psih_xh, Psih_xh * (1j * xi / dt)], axis=-2)
-        Wboth = _ifft(both)
-        na = Psih.shape[-2]
-        Wx = Wboth[..., :na, :]
-        dWx = Wboth[..., na:, :]
-    else:
-        Wx = _ifft(Psih_xh)
+        Psih_xh = Psih * xh[..., None, :]
+        if derivative:
+            # one fused batched iFFT over [spectra; derivative spectra] —
+            # the FFT amortizes its passes better over one larger batch
+            xi = xifn(1, M, xp=jnp).astype(xp.dtype)
+            both = jnp.concatenate([Psih_xh, Psih_xh * (1j * xi / dt)],
+                                   axis=-2)
+            Wboth = _ifft(both)
+            na = Psih.shape[-2]
+            Wx = Wboth[..., :na, :]
+            dWx = Wboth[..., na:, :]
+        else:
+            Wx = _ifft(Psih_xh)
 
-    if not rpadded:
+    if not rpadded and not mxu:   # mxu path already unpadded via `keep`
         Wx = Wx[..., n1:n1 + N]
         if derivative:
             dWx = dWx[..., n1:n1 + N]

@@ -92,14 +92,23 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile):
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (nf, tile), 0)
 
-        outr_ref[:] = jnp.zeros((nf, tile), outr_ref.dtype)
-        outi_ref[:] = jnp.zeros((nf, tile), outi_ref.dtype)
+        acc_dtype = outr_ref.dtype
+        outr_ref[:] = jnp.zeros((nf, tile), acc_dtype)
+        outi_ref[:] = jnp.zeros((nf, tile), acc_dtype)
+
+        import os as _os
+        variant = _os.environ.get("SSQ_TPU_REASSIGN_VARIANT", "where")
 
         def body(i, _):
             ki = k_ref[pl.ds(i, 1), :]    # (1, T)
             onehot = rows == ki
-            outr_ref[:] += jnp.where(onehot, vr_ref[pl.ds(i, 1), :], 0.0)
-            outi_ref[:] += jnp.where(onehot, vi_ref[pl.ds(i, 1), :], 0.0)
+            if variant == "fma":
+                sel = onehot.astype(acc_dtype)
+                outr_ref[:] += sel * vr_ref[pl.ds(i, 1), :]
+                outi_ref[:] += sel * vi_ref[pl.ds(i, 1), :]
+            else:
+                outr_ref[:] += jnp.where(onehot, vr_ref[pl.ds(i, 1), :], 0.0)
+                outi_ref[:] += jnp.where(onehot, vi_ref[pl.ds(i, 1), :], 0.0)
             return 0
 
         jax.lax.fori_loop(0, na, body, 0)
