@@ -17,7 +17,7 @@ we support ND).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -34,21 +34,100 @@ from ..wavelets.adm import adm_cwt, adm_ssq
 __all__ = ["cwt", "icwt", "cwt_core", "cwt_higher_order"]
 
 
+@lru_cache(maxsize=256)
+def _psih_is_real(wavelet: Wavelet) -> bool:
+    """Host probe: does this wavelet's psih evaluate real-valued?
+    (Planar fast-path requirement; true for gmw/morlet/cmhat/hhhat and
+    bump with om=0.)"""
+    try:
+        v = wavelet(np.array([0.31, 0.7, 1.3]))
+        return bool(np.isrealobj(np.asarray(v)))
+    except Exception:
+        return False
+
+
+@lru_cache(maxsize=64)
+def _xi_grid_np(M: int):
+    """Positive-frequency radian grid for bins k < M/2, reshaped to the
+    planar engine's (K1, M2) layout (k = M2*k1 + k2)."""
+    from .fft_mxu import best_split
+    M1, M2 = best_split(M)
+    xi = xifn(1, M)[:M // 2].astype(np.float32)
+    return xi.reshape(M1 // 2, M2)
+
+
 @partial(jax.jit, static_argnames=("wavelet", "derivative", "l1_norm", "N",
-                                   "n1", "rpadded"))
+                                   "n1", "rpadded", "planar_out"))
 def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
-             l1_norm: bool, N: int, n1: int, rpadded: bool):
-    """CWT of an already-padded signal. xp: (..., M); returns (..., na, N)."""
+             l1_norm: bool, N: int, n1: int, rpadded: bool,
+             planar_out: bool = False):
+    """CWT of an already-padded signal. xp: (..., M); returns (..., na, N).
+
+    `planar_out=True` (fused ssq_cwt path; requires the MXU half-band
+    route and a real-psih wavelet) returns f32 real/imag planes
+    ((Wxr, Wxi), (dWxr, dWxi)) instead of complex arrays — the
+    reassignment kernel consumes planes, so no c64 array is ever built
+    for dWx.
+    """
     M = xp.shape[-1]
-    from .fft_mxu import (ifft_mxu_halfband, use_mxu_fft, best_split)
+    from .fft_mxu import (ifft_mxu_halfband, ifft_mxu_halfband_planar,
+                          use_mxu_fft, best_split)
     mxu = (xp.dtype == jnp.float32 and use_mxu_fft() and
            best_split(M) is not None)
+    planar = planar_out and mxu and _psih_is_real(wavelet)
+    if planar_out and not planar:
+        raise ValueError("planar_out requires the MXU half-band path and "
+                         "a real-valued psih")
 
-    if mxu:
-        # analytic wavelets: psih == 0 for negative frequencies, so the
-        # product spectrum is half-band. Sample/multiply only bins
-        # 0..M/2 and invert via the half-band MXU four-step (25% fewer
-        # stage-1 MACs, half the filterbank build & multiply traffic).
+    if planar:
+        # Planar path: analytic wavelets with REAL psih. Everything stays
+        # as f32 real/imag planes (TPU has no complex tiles; planes feed
+        # the Pallas reassignment kernel with no split/combine passes).
+        M1, M2 = best_split(M)
+        K1 = M1 // 2
+        batch = xp.shape[:-1]
+        b = int(np.prod(batch)) if batch else 1
+        na = scales.shape[0]
+        rdt = xp.dtype
+        xh = jnp.fft.rfft(xp.reshape(b, M), axis=-1)      # (b, M/2+1) c64
+        xig = _xi_grid_np(M)                              # (K1, M2) host
+        Pw = wavelet.psih(scales[:, None, None] *
+                          jnp.asarray(xig)[None, :, :], jnp).astype(rdt)
+        xrh = xh.real[..., :M // 2].reshape(b, 1, K1, M2)
+        xih = xh.imag[..., :M // 2].reshape(b, 1, K1, M2)
+        Zr = (Pw[None] * xrh).reshape(b * na, K1, M2)
+        Zi = (Pw[None] * xih).reshape(b * na, K1, M2)
+        # Nyquist bin: psih(scale*pi)/2 * real(xh[M/2])
+        pnyq = (wavelet.psih(scales * np.float32(np.pi), jnp) / 2).astype(rdt)
+        znyq = (xh[:, -1].real.astype(rdt)[:, None] *
+                pnyq[None, :]).reshape(b * na)
+        zeros = jnp.zeros_like(znyq)
+        keep = (0, M) if rpadded else (n1, N)
+        if derivative:
+            xi_b = jnp.asarray(xig)[None, :, :] / dt
+            dZr = -Zi * xi_b
+            dZi = Zr * xi_b
+            Zr = jnp.concatenate([Zr, dZr], axis=0)
+            Zi = jnp.concatenate([Zi, dZi], axis=0)
+            nyq_r = jnp.concatenate([znyq, zeros])
+            nyq_i = jnp.concatenate([zeros, znyq * (np.pi / dt)])
+        else:
+            nyq_r, nyq_i = znyq, zeros
+        xr, xi_p = ifft_mxu_halfband_planar(Zr, Zi, keep=keep,
+                                            nyq_r=nyq_r, nyq_i=nyq_i)
+        L = keep[1]
+        shp = batch + (na, L)
+        if not l1_norm:
+            root = jnp.sqrt(scales).astype(rdt)
+            root_b = jnp.tile(root, 2 * b if derivative else b)[:, None]
+            xr = xr * root_b
+            xi_p = xi_p * root_b
+        planes_w = (xr[:b * na].reshape(shp), xi_p[:b * na].reshape(shp))
+        planes_d = ((xr[b * na:].reshape(shp), xi_p[b * na:].reshape(shp))
+                    if derivative else None)
+        return planes_w, planes_d
+    elif mxu:
+        # complex half-band path (non-real psih, e.g. bump with om != 0)
         xh = jnp.fft.rfft(xp, axis=-1)                    # (..., M/2+1)
         Psih = wavelet.sample(scales, M, xp=jnp, nohalf=False, half=True)
         Psih = Psih.astype(complex_dtype(xp.dtype))

@@ -220,3 +220,91 @@ def fft_mxu(X, precision=jax.lax.Precision.HIGH):
     """Forward FFT along the last axis (conjugate trick)."""
     M = X.shape[-1]
     return jnp.conj(ifft_mxu(jnp.conj(X), precision)) * M
+
+
+# -- planar (real/imag planes) half-band engine ------------------------------
+#
+# TPU has no native complex tiles: XLA lowers a c64 einsum to 4 real dots
+# plus combine passes, materializing intermediates. The planar engine keeps
+# real/imag as separate f32 planes end-to-end and runs each stage as ONE
+# stacked real matmul:
+#     [Cr; Ci] = [[Wr, -Wi], [Wi, Wr]] @ [Xr; Xi]
+# Downstream consumers (the Pallas reassignment kernel) want planes anyway.
+
+@lru_cache(maxsize=64)
+def _planar_consts(M: int, r0: int, r1: int):
+    """Stacked-real stage constants for the half-band flat split
+    (k = M2*k1 + k2, n = n1 + M1*n2):
+      W1s (2*M1, M1): [[W1r, -W1i], [W1i, W1r]] for the K1 = M1/2
+        truncated M1-point iDFT (contraction dim stacked),
+      Tr, Ti (M1, M2): twiddle exp(2i*pi*n1*k2/M) planes,
+      W2s (2*(r1-r0), 2*M2): [[W2r, -W2i], [W2i, W2r]] for output rows
+        n2 in [r0, r1), 1/M folded in. Used as the einsum LHS so the
+        output comes out (batch, plane, n2, n1) — flatten-ready, no
+        transpose.
+    """
+    M1, M2 = best_split(M)
+    K1 = M1 // 2
+    n1 = np.arange(M1)
+    W1 = np.exp(2j * np.pi * np.outer(n1, np.arange(K1)) / M1)
+    W1s = np.block([[W1.real, -W1.imag], [W1.imag, W1.real]])
+    T = np.exp(2j * np.pi * np.outer(n1, np.arange(M2)) / M)
+    n2 = np.arange(r0, r1)
+    W2 = np.exp(2j * np.pi * np.outer(n2, np.arange(M2)) / M2) / M
+    W2s = np.block([[W2.real, -W2.imag], [W2.imag, W2.real]])
+    return (W1s.astype(np.float32), T.real.astype(np.float32),
+            T.imag.astype(np.float32), W2s.astype(np.float32))
+
+
+def ifft_mxu_halfband_planar(Zr, Zi, keep=None, nyq_r=None, nyq_i=None,
+                             precision=jax.lax.Precision.HIGH):
+    """Planar half-band inverse FFT.
+
+    Zr, Zi: (B, K1, M2) f32 — real/imag planes of the half spectrum in
+    natural layout: plane[b, k1, k2] = spectrum[b, M2*k1 + k2] for
+    k1 < K1 = M1/2 (bins k < M/2; bins > M/2 zero — the analytic case).
+
+    Each stage is one batched stacked-real matmul — the [[r,-i],[i,r]]
+    block trick does the complex combines inside the dot (XLA's c64
+    einsum lowers to 4 dots + separate combine passes). Stage 2 uses the
+    DFT matrix as the einsum LHS so the result lands in
+    (B, plane, n2, n1) order: flattening n2*M1+n1 = n needs no transpose.
+
+    keep=(start, length) fuses the caller's unpad: only output rows n2
+    covering [start, start+length) are computed.
+    nyq_r/nyq_i: optional (B,) planes of the Nyquist bin (k = M/2),
+    added as Xnyq * (-1)^n / M elementwise.
+
+    Returns (xr, xi): (B, length) f32 planes.
+    """
+    B, K1, M2 = Zr.shape
+    M1 = 2 * K1
+    M = M1 * M2
+    if keep is None:
+        keep = (0, M)
+    start, length = keep
+    r0 = start // M1
+    r1 = -(-(start + length) // M1)
+    W1s_np, Tr_np, Ti_np, W2s_np = _planar_consts(M, r0, r1)
+
+    # stage 1: B1[b, (p,n1), k2] = sum_{(q,k1)} W1s X  (contraction 2*K1)
+    Z = jnp.concatenate([Zr, Zi], axis=-2)                 # (B, 2K1, M2)
+    B1 = jnp.einsum("nk,bkm->bnm", jnp.asarray(W1s_np), Z,
+                    precision=precision)                   # (B, 2M1, M2)
+    Br, Bi = B1[:, :M1], B1[:, M1:]
+    # twiddle + plane-pairing on the k2 axis (one fused elementwise pass)
+    Tr, Ti = jnp.asarray(Tr_np), jnp.asarray(Ti_np)
+    C = jnp.concatenate([Br * Tr - Bi * Ti, Br * Ti + Bi * Tr],
+                        axis=-1)                           # (B, M1, 2M2)
+    # stage 2: OUT[b, (p,n2), n1] = sum_{(q,k2)} W2s C  (contraction 2*M2)
+    OUT = jnp.einsum("nk,bmk->bnm", jnp.asarray(W2s_np), C,
+                     precision=precision)                  # (B, 2R, M1)
+    OUT = OUT.reshape(B, 2, (r1 - r0) * M1)
+    off = start - r0 * M1
+    xr = OUT[:, 0, off:off + length]
+    xi = OUT[:, 1, off:off + length]
+    if nyq_r is not None:
+        alt = jnp.asarray(_alt_sign(M))[start:start + length]
+        xr = xr + nyq_r[:, None] * alt
+        xi = xi + nyq_i[:, None] * alt
+    return xr, xi

@@ -40,7 +40,8 @@ def _round_half_even(x):
     return jnp.round(x)
 
 
-def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile):
+def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
+                 n_valid):
     omax_f = float(nf - 1)
     gamma2 = float(gamma) ** 2
 
@@ -57,6 +58,12 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile):
         else:
             w = jnp.abs(ratio)
         mask = mag2 > gamma2
+        if n_valid % tile:
+            # ragged last tile: inputs are NOT padded (saves 4 full-array
+            # pad copies); columns past n_valid may hold garbage -> mask
+            cols = (jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) +
+                    pl.program_id(0) * tile)
+            mask = mask & (cols < n_valid)
 
         wsafe = jnp.where(mask & (w > 0), w, 1.0)
         if mode == "log":
@@ -92,23 +99,18 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile):
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (nf, tile), 0)
 
-        acc_dtype = outr_ref.dtype
-        outr_ref[:] = jnp.zeros((nf, tile), acc_dtype)
-        outi_ref[:] = jnp.zeros((nf, tile), acc_dtype)
+        outr_ref[:] = jnp.zeros((nf, tile), outr_ref.dtype)
+        outi_ref[:] = jnp.zeros((nf, tile), outi_ref.dtype)
 
-        import os as _os
-        variant = _os.environ.get("SSQ_TPU_REASSIGN_VARIANT", "where")
-
+        # where-select accumulation measured fastest on v5e (vs
+        # compare->convert->FMA, 2-row groups in vregs, dual accumulator
+        # chains, 4x unroll — all within noise or slower; the loop is at
+        # the VPU's one-hot throughput floor ~na*nf*tile*5 ops)
         def body(i, _):
             ki = k_ref[pl.ds(i, 1), :]    # (1, T)
             onehot = rows == ki
-            if variant == "fma":
-                sel = onehot.astype(acc_dtype)
-                outr_ref[:] += sel * vr_ref[pl.ds(i, 1), :]
-                outi_ref[:] += sel * vi_ref[pl.ds(i, 1), :]
-            else:
-                outr_ref[:] += jnp.where(onehot, vr_ref[pl.ds(i, 1), :], 0.0)
-                outi_ref[:] += jnp.where(onehot, vi_ref[pl.ds(i, 1), :], 0.0)
+            outr_ref[:] += jnp.where(onehot, vr_ref[pl.ds(i, 1), :], 0.0)
+            outi_ref[:] += jnp.where(onehot, vi_ref[pl.ds(i, 1), :], 0.0)
             return 0
 
         jax.lax.fori_loop(0, na, body, 0)
@@ -119,33 +121,31 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile):
 @functools.partial(jax.jit, static_argnames=("mode", "flipud", "transform",
                                              "nf", "plan", "gamma_f",
                                              "interpret"))
-def _reassign_pallas_2d(Wx, dWx, const_arr, Sfs, *, mode, flipud, transform,
-                        nf, plan, gamma_f, interpret):
-    """Wx, dWx: (na, n) complex; returns Tx (nf, n) complex."""
-    na, n = Wx.shape
-    rdtype = jnp.float32 if Wx.dtype == jnp.complex64 else jnp.float64
+def _reassign_pallas_2d(wr, wi, dr, di, const_arr, Sfs, *, mode, flipud,
+                        transform, nf, plan, gamma_f, interpret):
+    """wr/wi/dr/di: (na, n) real planes; returns (Txr, Txi) (nf, n)."""
+    na, n = wr.shape
+    rdtype = wr.dtype
 
     import os
     TILE = int(os.environ.get("SSQ_TPU_REASSIGN_TILE", "512"))
-    n_pad = int(np.ceil(n / TILE)) * TILE
-    pad = n_pad - n
+    grid_n = -(-n // TILE)
+    # inputs stay UNPADDED: the kernel masks the ragged last tile by
+    # column index (saves 4 full-array pad copies); in interpret mode
+    # (CPU tests) Pallas requires divisible shapes, so pad there.
+    pad = grid_n * TILE - n if interpret else 0
+    if pad:
+        wr, wi, dr, di = (jnp.pad(z, ((0, 0), (0, pad)))
+                          for z in (wr, wi, dr, di))
 
-    def prep(z):
-        zr = jnp.pad(z.real.astype(rdtype), ((0, 0), (0, pad)))
-        zi = jnp.pad(z.imag.astype(rdtype), ((0, 0), (0, pad)))
-        return zr, zi
-
-    wr, wi = prep(Wx)
-    dr, di = prep(dWx)
-    # padded columns: Wx=0 -> mag2=0 -> masked out; safe.
     constb = jnp.broadcast_to(const_arr.astype(rdtype)[:, None], (na, 1))
     sfsb = jnp.broadcast_to(Sfs.astype(rdtype)[:, None], (na, 1))
 
     params = dict(plan)
     kernel = _make_kernel(mode, params, gamma_f, flipud, transform, nf, na,
-                          TILE)
+                          TILE, n_valid=n)
 
-    grid = (n_pad // TILE,)
+    grid = (grid_n,)
     bspec_in = pl.BlockSpec((na, TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     bspec_col = pl.BlockSpec((na, 1), lambda i: (0, 0),
@@ -159,21 +159,30 @@ def _reassign_pallas_2d(Wx, dWx, const_arr, Sfs, *, mode, flipud, transform,
         in_specs=[bspec_in, bspec_in, bspec_in, bspec_in, bspec_col,
                   bspec_col],
         out_specs=(bspec_out, bspec_out),
-        out_shape=(jax.ShapeDtypeStruct((nf, n_pad), rdtype),
-                   jax.ShapeDtypeStruct((nf, n_pad), rdtype)),
+        out_shape=(jax.ShapeDtypeStruct((nf, n + pad), rdtype),
+                   jax.ShapeDtypeStruct((nf, n + pad), rdtype)),
         scratch_shapes=[pltpu.VMEM((na, TILE), jnp.int32),
                         pltpu.VMEM((na, TILE), rdtype),
                         pltpu.VMEM((na, TILE), rdtype)],
         interpret=interpret,
     )(wr, wi, dr, di, constb, sfsb)
 
-    Tx = (outr + 1j * outi).astype(Wx.dtype)
-    return Tx[:, :n]
+    return outr[:, :n], outi[:, :n]
+
+
+def _planes(z, rdtype):
+    if isinstance(z, tuple):
+        return z[0].astype(rdtype), z[1].astype(rdtype)
+    return z.real.astype(rdtype), z.imag.astype(rdtype)
 
 
 def reassign_pallas(Wx, dWx, const_arr, gamma, Sfs, plan_params, *, mode,
                     flipud, transform, nf, interpret=None):
-    """Fused reassignment via the Pallas kernel. Wx/dWx: (..., na, n).
+    """Fused reassignment via the Pallas kernel.
+
+    Wx/dWx: (..., na, n) complex arrays OR (real, imag) plane tuples —
+    the planar CWT path feeds planes directly, skipping the
+    complexify/split round-trip. Returns complex Tx (..., nf, n).
 
     `plan_params`: dict of host floats (vlmin/dvl/... per `mode`).
     Falls back to interpreter mode off-TPU (CPU tests).
@@ -182,16 +191,26 @@ def reassign_pallas(Wx, dWx, const_arr, gamma, Sfs, plan_params, *, mode,
         interpret = interpret_mode()
     plan = tuple(sorted((k, float(v)) for k, v in plan_params.items()))
 
-    batch_shape = Wx.shape[:-2]
-    na, n = Wx.shape[-2:]
-    Wx2 = Wx.reshape((-1, na, n))
-    dWx2 = dWx.reshape((-1, na, n))
+    planar_in = isinstance(Wx, tuple)
+    cdtype = (Wx[0] if planar_in else Wx).dtype
+    rdtype = (jnp.float64 if cdtype in (jnp.complex128, jnp.float64)
+              else jnp.float32)
+    wr, wi = _planes(Wx, rdtype)
+    dr, di = _planes(dWx, rdtype)
+    out_cdtype = (jnp.complex128 if rdtype == jnp.float64 else jnp.complex64)
+
+    batch_shape = wr.shape[:-2]
+    na, n = wr.shape[-2:]
+    wr, wi, dr, di = (z.reshape((-1, na, n)) for z in (wr, wi, dr, di))
 
     f = functools.partial(_reassign_pallas_2d, mode=mode, flipud=flipud,
                           transform=transform, nf=nf, plan=plan,
                           gamma_f=float(gamma), interpret=interpret)
-    if Wx2.shape[0] == 1:
-        Tx = f(Wx2[0], dWx2[0], const_arr, Sfs)[None]
+    if wr.shape[0] == 1:
+        txr, txi = f(wr[0], wi[0], dr[0], di[0], const_arr, Sfs)
+        txr, txi = txr[None], txi[None]
     else:
-        Tx = jax.vmap(lambda a, b: f(a, b, const_arr, Sfs))(Wx2, dWx2)
+        txr, txi = jax.vmap(
+            lambda a, b, c, d: f(a, b, c, d, const_arr, Sfs))(wr, wi, dr, di)
+    Tx = jax.lax.complex(txr, txi).astype(out_cdtype)
     return Tx.reshape(batch_shape + (nf, n))

@@ -12,6 +12,7 @@ leading dims.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import EPS32, EPS64
@@ -26,6 +27,19 @@ from .ssqueeze import ssqueeze, check_ssqueezing_args
 __all__ = ["ssq_cwt", "issq_cwt"]
 
 
+def _planar_ssq_ok(x, wavelet, padtype, squeezing, dtype):
+    """Is the planar (f32 planes end-to-end) fused path applicable?"""
+    from .fft_mxu import use_mxu_fft, best_split
+    from .cwt import _psih_is_real
+    from ..config import DEFAULTS
+    if str(dtype or DEFAULTS["dtype"]) != "float32":
+        return False
+    N = jnp.asarray(x).shape[-1]
+    M = p2up(N)[0] if padtype is not None else N
+    return (use_mxu_fft() and best_split(M) is not None and
+            _psih_is_real(wavelet) and squeezing == "sum")
+
+
 def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
             t=None, ssq_freqs=None, padtype="reflect", squeezing="sum",
             maprange="peak", difftype="trig", difforder=None, gamma=None,
@@ -38,6 +52,7 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
     """
     difforder = check_ssqueezing_args(squeezing, maprange, wavelet, difftype,
                                       difforder, get_w, transform="cwt")
+    planes_w = planes_d = None
     x = jnp.asarray(x)
     N = x.shape[-1]
     dt, fs, _ = process_fs_and_t(fs, t, N)
@@ -69,10 +84,34 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
         scales, cwt_scaletype, *_ = process_scales(scales, N, wavelet, nv=nv,
                                                    get_params=True)
         rpadded = (difftype == "numeric")
-        Wx, scales_out, dWx = cwt(x, wavelet, scales=scales, fs=fs, nv=nv,
-                                  l1_norm=True, derivative=True,
-                                  padtype=padtype, rpadded=rpadded,
-                                  nan_checks=nan_checks, dtype=dtype)
+        if (not rpadded and not get_w and
+                _planar_ssq_ok(x, wavelet, padtype, squeezing, dtype)):
+            # planar fast path: CWT+derivative as f32 planes feeding the
+            # Pallas kernel directly — dWx never becomes complex64 and
+            # the kernel skips its .real/.imag split passes
+            from .cwt import cwt_core
+            from ..utils.pad import padsignal
+            from ..config import DEFAULTS
+            xx = jnp.asarray(x)
+            if nan_checks is None or nan_checks:
+                xx = jnp.nan_to_num(xx, nan=0.0, posinf=0.0, neginf=0.0)
+            xx = xx.astype(dtype or DEFAULTS["dtype"])
+            if padtype is not None:
+                xp_, _, n1_, _ = padsignal(xx, padtype, get_params=True)
+            else:
+                xp_, n1_ = xx, 0
+            sc = jnp.asarray(np.asarray(scales).squeeze(-1), xx.dtype)
+            planes_w, planes_d = cwt_core(
+                xp_, sc, jnp.asarray(dt, xx.dtype), wavelet=wavelet,
+                derivative=True, l1_norm=True, N=N, n1=n1_, rpadded=False,
+                planar_out=True)
+            Wx = jax.lax.complex(*planes_w)
+            dWx = (jax.lax.complex(*planes_d) if get_dWx else planes_d)
+        else:
+            Wx, scales_out, dWx = cwt(x, wavelet, scales=scales, fs=fs,
+                                      nv=nv, l1_norm=True, derivative=True,
+                                      padtype=padtype, rpadded=rpadded,
+                                      nan_checks=nan_checks, dtype=dtype)
 
     if gamma is None:
         gamma = 10 * (EPS64 if Wx.dtype == jnp.complex128 else EPS32)
@@ -100,7 +139,7 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
                              squeezing=squeezing, maprange=maprange,
                              wavelet=wavelet, gamma=gamma,
                              was_padded=was_padded, flipud=flipud, dWx=_dWx,
-                             transform="cwt")
+                             transform="cwt", wx_planes=planes_w)
 
     if difftype == "numeric":
         Wx = Wx[..., 4:-4]

@@ -272,11 +272,13 @@ def check_ssqueezing_args(squeezing, maprange=None, wavelet=None,
 def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
              t=None, squeezing="sum", maprange="maximal", wavelet=None,
              gamma=None, was_padded=True, flipud=False, dWx=None,
-             transform="cwt"):
+             transform="cwt", wx_planes=None):
     """Synchrosqueeze a CWT or STFT (reference parity: ssqueezing.py:13-224).
 
     Returns (Tx, ssq_freqs). When `w` is None the fused path is used
     (phase + bin + scatter in one program), requiring `dWx` and `gamma`.
+    `dWx` and `wx_planes` may be (real, imag) f32 plane tuples (planar CWT
+    path) — consumed directly by the Pallas kernel, no c64 round-trip.
     """
     if w is None and (dWx is None or gamma is None):
         raise ValueError("if `w` is None, `dWx` and `gamma` must not be.")
@@ -348,7 +350,10 @@ def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
     from ..config import use_pallas_kernels
     if fused and use_pallas_kernels():
         from .reassign_pallas import reassign_pallas
-        Tx = reassign_pallas(Wx, jnp.asarray(dWx),
+        wx_in = (wx_planes if (wx_planes is not None and squeezing == "sum")
+                 else Wx)
+        dwx_in = dWx if isinstance(dWx, tuple) else jnp.asarray(dWx)
+        Tx = reassign_pallas(wx_in, dwx_in,
                              jnp.asarray(const_arr, rdtype),
                              float(gamma), Sfs_arr, params_host, mode=mode,
                              flipud=flipud, transform=transform,
@@ -357,6 +362,8 @@ def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
         params = {k: (jnp.asarray(v) if k != "idx1" else
                       jnp.asarray(v, jnp.int32))
                   for k, v in params_host.items()}
+        if isinstance(dWx, tuple):
+            dWx = jax.lax.complex(*dWx).astype(Wx.dtype)
         w_or_dWx = dWx if fused else w
         gamma_val = jnp.asarray(gamma if gamma is not None else 0.0,
                                 dtype=rdtype)
