@@ -44,14 +44,33 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
         raise ValueError("`ssq_freqs` must be linearly distributed for "
                          "`ssq_stft`")
 
-    Sx, dSx = stft(x, window, n_fft=n_fft, win_len=win_len, hop_len=hop_len,
-                   fs=fs, padtype=padtype, modulated=modulated,
-                   derivative=True, dtype=dtype)
-    # keep the MXU conv and the reassignment kernel in separate XLA
-    # computations: fusing the conv's output transforms into the Pallas
-    # operand prep regresses the conv ~10x
+    from ..config import DEFAULTS
+    from .stft import MATMUL_NFFT_MAX
+    N = jnp.shape(x)[-1]
+    n_fft_eff = int(n_fft or min(N // hop_len, 512))
+    planar = (str(dtype or DEFAULTS["dtype"]) == "float32" and
+              n_fft_eff <= MATMUL_NFFT_MAX and squeezing == "sum" and
+              not get_w)
     import jax
-    Sx, dSx = jax.lax.optimization_barrier((Sx, dSx))
+    # keep the MXU matmul and the reassignment kernel in separate XLA
+    # computations: fusing the matmul's output transforms into the Pallas
+    # operand prep regresses the matmul ~10x
+    if planar:
+        # planes from the MXU matmul feed the Pallas kernel directly —
+        # dSx is never materialized as complex64
+        sxp, dsp = stft(x, window, n_fft=n_fft, win_len=win_len,
+                        hop_len=hop_len, fs=fs, padtype=padtype,
+                        modulated=modulated, derivative=True, dtype=dtype,
+                        planar_out=True)
+        sxp, dsp = jax.lax.optimization_barrier((sxp, dsp))
+        Sx = jax.lax.complex(*sxp)
+        dSx = jax.lax.complex(*dsp) if get_dWx else dsp
+    else:
+        sxp = None
+        Sx, dSx = stft(x, window, n_fft=n_fft, win_len=win_len,
+                       hop_len=hop_len, fs=fs, padtype=padtype,
+                       modulated=modulated, derivative=True, dtype=dtype)
+        Sx, dSx = jax.lax.optimization_barrier((Sx, dSx))
 
     Sfs = make_Sfs(Sx, fs)
     if gamma is None:
@@ -68,7 +87,8 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
         ssq_freqs = Sfs
     Tx, ssq_freqs = ssqueeze(Sx, w, squeezing=squeezing, ssq_freqs=ssq_freqs,
                              Sfs=Sfs, flipud=flipud, gamma=gamma, dWx=_dSx,
-                             maprange="maximal", transform="stft")
+                             maprange="maximal", transform="stft",
+                             wx_planes=sxp)
 
     if get_w and get_dWx:
         return Tx, Sx, ssq_freqs, Sfs, w, dSx

@@ -61,8 +61,13 @@ def _dft_matrix(window, n_fft, modulated):
 
 @lru_cache(maxsize=128)
 def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
-                  derivative, dtype_str):
-    """Build & jit an STFT program with the window folded in as constants."""
+                  derivative, dtype_str, planar=False):
+    """Build & jit an STFT program with the window folded in as constants.
+
+    `planar=True` (matmul path only) returns f32 real/imag planes
+    (Sxr, Sxi[, dSxr, dSxi]) instead of complex arrays — they are free
+    slices of the MXU matmul output, and the Pallas reassignment kernel
+    consumes planes directly."""
     window = np.frombuffer(win_bytes, dtype=np.float64)
     diff_window = (np.frombuffer(dwin_bytes, dtype=np.float64)
                    if dwin_bytes is not None else None)
@@ -121,13 +126,18 @@ def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
                              framesT,
                              precision=jax.lax.Precision.HIGHEST,
                              preferred_element_type=jnp.float32)
-            Sx = jax.lax.complex(out[..., 0:n_freqs, :],
-                                 out[..., n_freqs:2 * n_freqs, :])
+            sxr = out[..., 0:n_freqs, :]
+            sxi = out[..., n_freqs:2 * n_freqs, :]
             if derivative:
-                dSx = jax.lax.complex(out[..., 2 * n_freqs:3 * n_freqs, :],
-                                      out[..., 3 * n_freqs:, :]) * fs
-                return Sx, dSx
-            return Sx, None
+                dsr = out[..., 2 * n_freqs:3 * n_freqs, :] * fs
+                dsi = out[..., 3 * n_freqs:, :] * fs
+                if planar:
+                    return sxr, sxi, dsr, dsi
+                return (jax.lax.complex(sxr, sxi),
+                        jax.lax.complex(dsr, dsi))
+            if planar:
+                return sxr, sxi
+            return jax.lax.complex(sxr, sxi), None
     else:
         win_np = window.astype(rdtype)
         dwin_np = diff_window.astype(rdtype) if derivative else None
@@ -156,27 +166,35 @@ def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
 
 
 def stft_core(xp, window, diff_window, fs, *, n_fft, hop_len, modulated,
-              derivative):
+              derivative, planar_out=False):
     """STFT of an already-padded signal (time = last axis).
 
     `window`/`diff_window` are HOST numpy arrays (folded into the compiled
     program). Returns Sx (and dSx if `derivative`), shape
-    (..., n_freqs, n_segs).
+    (..., n_freqs, n_segs); with `planar_out` (matmul path only), f32
+    planes (Sxr, Sxi[, dSxr, dSxi]) instead.
     """
+    if planar_out and not (np.dtype(str(xp.dtype)) == np.float32 and
+                           n_fft <= MATMUL_NFFT_MAX):
+        raise ValueError("planar_out requires the float32 MXU matmul path")
     win_bytes = np.asarray(window, np.float64).tobytes()
     dwin_bytes = (np.asarray(diff_window, np.float64).tobytes()
                   if (derivative and diff_window is not None) else None)
     run = _stft_program(win_bytes, dwin_bytes, int(n_fft), int(hop_len),
-                        bool(modulated), bool(derivative), str(xp.dtype))
+                        bool(modulated), bool(derivative), str(xp.dtype),
+                        planar=bool(planar_out))
     return run(xp, jnp.asarray(fs, dtype=xp.dtype))
 
 
 def stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None, t=None,
-         padtype="reflect", modulated=True, derivative=False, dtype=None):
+         padtype="reflect", modulated=True, derivative=False, dtype=None,
+         planar_out=False):
     """Short-Time Fourier Transform (reference parity: _stft.py:13-181).
 
     `x`: array, time on last axis; arbitrary leading batch/channel dims.
     Returns `Sx` [(..., n_fft//2+1, n_hops)], plus `dSx` if `derivative`.
+    `planar_out` (internal, ssq_stft fast path): return f32 plane tuples
+    ((Sxr, Sxi)[, (dSxr, dSxi)]) from the MXU matmul path.
     """
     x = jnp.asarray(x)
     N = x.shape[-1]
@@ -195,9 +213,13 @@ def stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None, t=None,
     padlength = N + n_fft - 1
     xp = padsignal(x, padtype, padlength=padlength)
 
-    Sx, dSx = stft_core(xp, window, diff_window, fs, n_fft=n_fft,
-                        hop_len=hop_len, modulated=modulated,
-                        derivative=derivative)
+    out = stft_core(xp, window, diff_window, fs, n_fft=n_fft,
+                    hop_len=hop_len, modulated=modulated,
+                    derivative=derivative, planar_out=planar_out)
+    if planar_out:
+        return ((out[0], out[1]), (out[2], out[3])) if derivative else \
+            (out[0], out[1])
+    Sx, dSx = out
     return (Sx, dSx) if derivative else Sx
 
 
