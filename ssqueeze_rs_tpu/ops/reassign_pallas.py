@@ -165,6 +165,8 @@ def _reassign_pallas_2d(wr, wi, dr, di, const_arr, Sfs, *, mode, flipud,
                         pltpu.VMEM((na, TILE), rdtype),
                         pltpu.VMEM((na, TILE), rdtype)],
         interpret=interpret,
+        **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024))),
     )(wr, wi, dr, di, constb, sfsb)
 
     return outr[:, :n], outi[:, :n]
