@@ -1,0 +1,108 @@
+"""Parity tests for experimental.py (scale<->freq conversions) vs the
+vendored reference oracle, plus visuals render-smoke (Agg backend).
+
+Reference: old/ssqueezepy/experimental.py:15-142, visuals.py.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+# numba no-op stub (same trick as test_reference_parity.py)
+_numba = types.ModuleType("numba")
+
+
+def _jit(*a, **k):
+    if a and callable(a[0]):
+        return a[0]
+
+    def deco(f):
+        return f
+    return deco
+
+
+_numba.jit = _jit
+_numba.njit = _jit
+_numba.prange = range
+sys.modules.setdefault("numba", _numba)
+sys.path.insert(0, "/root/reference/old")
+
+ssq_ref = pytest.importorskip("ssqueezepy")
+
+import ssqueeze_rs_tpu as sq  # noqa: E402
+from ssqueeze_rs_tpu.experimental import (freq_to_scale,  # noqa: E402
+                                          scale_to_freq)
+
+
+def test_scale_to_freq_parity():
+    """(reference: experimental.py:85-142)"""
+    N = 1024
+    wav = sq.Wavelet.build("gmw")
+    wav_ref = ssq_ref.Wavelet("gmw")
+    scales = np.logspace(np.log10(2), np.log10(200), 24)
+    ours = scale_to_freq(scales, wav, N, fs=250.0)
+    theirs = ssq_ref.experimental.scale_to_freq(scales, wav_ref, N, fs=250.0)
+    assert np.allclose(ours, np.asarray(theirs), rtol=1e-6), (
+        np.max(np.abs(ours - theirs)))
+
+
+def test_freq_to_scale_round_trip():
+    """freq -> scale -> freq recovers the grid to a few percent
+    (reference: experimental.py:15-82; exactness is search-grid-limited)."""
+    N = 2048
+    wav = sq.Wavelet.build("gmw")
+    freqs = np.linspace(0.02, 0.5, 16)
+    scales = freq_to_scale(freqs, wav, N)
+    assert np.all(np.diff(scales) < 0)          # high freq -> small scale
+    freqs_back = scale_to_freq(scales, wav, N, padtype=None)
+    # freq_to_scale log-interpolates BETWEEN the endpoint scales
+    # (reference: experimental.py:76-82) — only endpoints are anchored
+    assert np.all(np.diff(freqs_back) > 0)
+    assert abs(freqs_back[0] - freqs[0]) < 0.01, freqs_back[0]
+    assert abs(freqs_back[-1] - freqs[-1]) < 0.01, freqs_back[-1]
+
+
+def test_freq_to_scale_parity():
+    """(reference: experimental.py:15-82)"""
+    N = 1024
+    wav = sq.Wavelet.build("gmw")
+    wav_ref = ssq_ref.Wavelet("gmw")
+    freqs = np.linspace(0.05, 0.5, 8)
+    ours = freq_to_scale(freqs, wav, N, n_search_scales=200)
+    theirs = ssq_ref.experimental.freq_to_scale(freqs, wav_ref, N,
+                                                n_search_scales=200)
+    assert np.allclose(ours, np.asarray(theirs), rtol=0.05), (
+        ours / np.asarray(theirs))
+
+
+# -- visuals render-smoke -----------------------------------------------------
+def test_visuals_render():
+    """Main viz entry points draw onto the Agg canvas without error."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from ssqueeze_rs_tpu import visuals
+
+    wav = sq.Wavelet.build("gmw")
+    x = np.random.RandomState(0).randn(256)
+    Wx, scales = sq.cwt(x, wav, dtype="float64")
+
+    visuals.imshow(np.abs(np.asarray(Wx)), show=False)
+    plt.close("all")
+    visuals.plot(np.asarray(Wx)[4], show=False)
+    plt.close("all")
+    visuals.scat(np.arange(16), np.arange(16) ** 2, show=False)
+    plt.close("all")
+    visuals.hist(x, show=False)
+    plt.close("all")
+    visuals.wavelet_filterbank(wav, N=256, show=False)
+    plt.close("all")
+    visuals.wavelet_tf(wav, N=256, show=False)
+    plt.close("all")
+    visuals.wavelet_waveforms(wav, N=256, scale=8.0, show=False)
+    plt.close("all")
+    visuals.wavelet_heatmap(wav, N=256, show=False)
+    plt.close("all")
+    visuals.viz_gmw_orders(N=256, orders=(0, 1), show=False)
+    plt.close("all")
