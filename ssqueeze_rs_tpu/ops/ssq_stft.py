@@ -105,6 +105,12 @@ def issq_stft(Tx, window=None, cc=None, cw=None, n_fft=None, win_len=None,
 
     x = (2 / window[center]) * sum_rows Re(Tx); requires hop_len=1 and
     modulated STFT.
+
+    NOTE (reference quirk, faithfully reproduced): the forward ssq_stft's
+    Tx scales with `fs` (its reassignment constant is the ssq-frequency
+    spacing in Hz, ssqueezing.py:134), while this inversion assumes the
+    fs=1 normalization — reconstruct from a transform taken with fs=1,
+    or divide the result by `fs`.
     """
     if not modulated:
         raise ValueError("inversion with `modulated == False` is unsupported.")
