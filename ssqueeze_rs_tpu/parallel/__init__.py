@@ -2,6 +2,9 @@
 from .mesh import make_mesh, shard_batch
 from .chunked import (chunked_stft, chunked_cwt, chunked_ssq_cwt,
                       chunked_ssq_stft)
+from .distributed import (initialize, make_host_chip_mesh,
+                          global_from_local, is_distributed)
 
 __all__ = ["make_mesh", "shard_batch", "chunked_stft", "chunked_cwt",
-           "chunked_ssq_cwt", "chunked_ssq_stft"]
+           "chunked_ssq_cwt", "chunked_ssq_stft", "initialize",
+           "make_host_chip_mesh", "global_from_local", "is_distributed"]

@@ -1,0 +1,96 @@
+"""Multi-host runtime glue (reference P10: the dask distributed scheduler,
+pyproject.toml:11 `dask[complete]`, replaced by the JAX multi-host runtime).
+
+A multi-host job calls `initialize()` once per process, builds a
+host-by-chip mesh with `make_host_chip_mesh()`, and feeds per-host shards
+through `jax.make_array_from_process_local_data` via `global_from_local`.
+Everything downstream (chunked_* transforms, shard_map halo exchange) is
+identical to single-host: XLA routes the 'time'-axis halos over ICI within
+a slice and DCN across slices.
+
+Single-process fallback: with no coordinator configured, `initialize()`
+is a no-op and the mesh spans the local devices only, so the same script
+runs unchanged on one chip, one host, or a full pod.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["initialize", "make_host_chip_mesh", "global_from_local",
+           "is_distributed"]
+
+_initialized = False
+
+
+def is_distributed() -> bool:
+    """True once `jax.distributed.initialize` has run (multi-process)."""
+    return _initialized and jax.process_count() > 1
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None,
+               **kw):
+    """Initialize the JAX multi-host runtime (idempotent).
+
+    Arguments default to the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) or the
+    TPU pod metadata when running on Cloud TPU. With neither present this
+    is a no-op and the process runs single-host.
+    """
+    global _initialized
+    if _initialized:
+        return
+    coordinator_address = (coordinator_address or
+                           os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    on_tpu_pod = jax.default_backend() == "tpu" and (
+        os.environ.get("TPU_WORKER_HOSTNAMES") or
+        os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    if coordinator_address is None and not on_tpu_pod:
+        return  # single-process run
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=(num_processes if num_processes is not None
+                       else int(env_np) if env_np else None),
+        process_id=(process_id if process_id is not None
+                    else int(env_pid) if env_pid else None),
+        **kw)
+    _initialized = True
+
+
+def make_host_chip_mesh(axis_names=("data", "time"),
+                        time_parallel=None) -> Mesh:
+    """Mesh over ALL global devices, laid out host-major.
+
+    By default hosts map to 'data' (each host's recordings stay local)
+    and the per-host chips to 'time' (halo exchange rides ICI between
+    chips of the same host / slice). `time_parallel` overrides the size
+    of the 'time' axis (must divide the global device count).
+    """
+    devs = jax.devices()
+    n = len(devs)
+    local = jax.local_device_count()
+    tp = time_parallel if time_parallel is not None else local
+    if n % tp:
+        raise ValueError(f"time_parallel={tp} must divide {n} devices")
+    # sort host-major so the fast axis stays within a host (ICI-adjacent)
+    devs = sorted(devs, key=lambda d: (d.process_index, d.id))
+    arr = np.asarray(devs).reshape(n // tp, tp)
+    return Mesh(arr, axis_names)
+
+
+def global_from_local(x_local, mesh: Mesh, spec: P):
+    """Assemble a global array from per-process local shards.
+
+    `x_local`: this process's shard (numpy/jax array); `spec`: the GLOBAL
+    PartitionSpec. Single-process: equivalent to a device_put with the
+    given sharding.
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x_local, sharding)
+    return jax.make_array_from_process_local_data(sharding, x_local)

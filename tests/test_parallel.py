@@ -140,3 +140,46 @@ def test_batch_and_time_sharding(mesh2x4):
                                  wavelet=wav, scales="log", dtype="float64")
         assert np.allclose(Tb[i], np.asarray(Ti[0] if Ti.ndim == 3 else Ti),
                            atol=1e-12), i
+
+
+def test_distributed_helpers_single_process():
+    """Multi-host glue degrades cleanly to single-process (P10 analog)."""
+    from jax.sharding import PartitionSpec as P
+    from ssqueeze_rs_tpu.parallel import (initialize, make_host_chip_mesh,
+                                          global_from_local, is_distributed)
+
+    initialize()                       # no coordinator -> no-op
+    assert not is_distributed()
+
+    mesh = make_host_chip_mesh()       # 1 host x 8 local devices
+    assert mesh.devices.shape == (1, 8)
+    assert mesh.axis_names == ("data", "time")
+
+    mesh2 = make_host_chip_mesh(time_parallel=4)
+    assert mesh2.devices.shape == (2, 4)
+
+    x = np.arange(32, dtype=np.float32).reshape(4, 8)
+    gx = global_from_local(x, mesh2, P("data", None))
+    assert gx.shape == (4, 8)
+    assert np.array_equal(np.asarray(gx), x)
+
+    with pytest.raises(ValueError):
+        make_host_chip_mesh(time_parallel=3)
+
+
+def test_chunked_ssq_cwt_on_host_chip_mesh():
+    """End-to-end sharded ssq_cwt over the host-major mesh layout."""
+    from ssqueeze_rs_tpu.parallel import make_host_chip_mesh
+
+    mesh = make_host_chip_mesh(time_parallel=4)   # (2, 4)
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((2, 2048))
+    Xs = shard_batch(np.asarray(X), mesh, "data")
+    Tx, Wx, fr, sc = chunked_ssq_cwt(Xs, mesh, fs=1.0,
+                                     batch_axis_name="data")
+    Tx1, Wx1, fr1, sc1 = ssq_cwt(X, "gmw", scales=np.asarray(sc).reshape(-1, 1),
+                                 fs=1.0)
+    # interior columns match the unsharded transform (halo-limited edges)
+    sl = slice(256, -256)
+    a, b = np.asarray(Wx)[..., sl], np.asarray(Wx1)[..., sl]
+    assert np.max(np.abs(a - b)) / np.max(np.abs(b)) < 5e-2
