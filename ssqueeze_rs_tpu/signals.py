@@ -260,13 +260,57 @@ class TestSignals:
 
     # -- batch makers -------------------------------------------------------------
     def make_signals(self, signals="all", N=None, get_params=False):
-        """Generate a dict {name: (x, t)} for the requested signal names."""
+        """Generate a dict {name: (x, t)} for the requested signal names;
+        entries may be (name, kwargs) pairs. With `get_params`, values are
+        (x, t, (fparams, aparams)) (reference: _test_signals.py:536-593).
+        """
         if signals == "all":
-            signals = self.SUPPORTED
-        elif isinstance(signals, str):
+            signals = list(self.SUPPORTED)
+        elif isinstance(signals, (str, tuple)):
             signals = [signals]
         out = {}
-        for name in signals:
-            fn = getattr(self, name)
-            out[name] = fn(N=N)
+        for spec in signals:
+            name, kw = spec if isinstance(spec, tuple) else (spec, {})
+            x, t = getattr(self, name)(N=N, **kw)
+            out[name] = ((x, t, (dict(kw), dict(snr=self.snr)))
+                         if get_params else (x, t))
         return out
+
+    @staticmethod
+    def _title(name, N, fparams, aparams):
+        fp = ", ".join(f"{k}={v}" for k, v in fparams.items())
+        return f"{name} | N={N}" + (f" | {fp}" if fp else "")
+
+    def demo(self, signals="all", N=None, dft=None):
+        """Plot signal waveforms, optionally with their DFTs
+        (reference: _test_signals.py:465-499)."""
+        from . import visuals
+        if dft not in (None, "rows", "cols"):
+            raise ValueError(f"`dft` must be 'rows', 'cols', or None "
+                             f"(got {dft})")
+        data = self.make_signals(signals, N, get_params=True)
+        for name, (x, t, (fparams, aparams)) in data.items():
+            title = self._title(name, len(x), fparams, aparams)
+            visuals.plot(t, x, title=title, show=True)
+            if dft:
+                axrf = np.abs(np.fft.rfft(np.asarray(x)))
+                visuals.plot(axrf, title=f"rDFT({name})", show=True)
+
+    def test_transforms(self, fn, signals="all", N=None):
+        """Run `fn(x, t, (name, fparams, aparams))` over the signal bank
+        and imshow any returned (Tf, pkw) transform(s)
+        (reference: _test_signals.py:501-534)."""
+        from . import visuals
+        data = self.make_signals(signals, N, get_params=True)
+        for name, (x, t, (fparams, aparams)) in data.items():
+            out = fn(x, t, (name, fparams, aparams))
+            if out is None:
+                continue
+            Tf, pkw = out
+            pkw = dict(pkw)
+            pkw.setdefault("abs", True)
+            pkw.setdefault("show", True)
+            pkw.setdefault("title", self._title(name, len(x), fparams,
+                                                aparams))
+            for o in (Tf if isinstance(Tf, (tuple, list)) else [Tf]):
+                visuals.imshow(np.asarray(o), **pkw)

@@ -12,7 +12,8 @@ import numpy as np
 
 __all__ = ["imshow", "plot", "scat", "hist", "plots",
            "wavelet_filterbank", "wavelet_waveforms", "wavelet_heatmap",
-           "wavelet_tf", "viz_gmw_orders"]
+           "wavelet_tf", "wavelet_tf_anim", "sweep_std_t", "sweep_std_w",
+           "sweep_harea", "viz_gmw_orders"]
 
 
 def _plt():
@@ -121,6 +122,7 @@ def wavelet_filterbank(wavelet, N=1024, scales="log", show=True):
     from .wavelets.base import Wavelet
     from .scales import process_scales
     plt = _plt()
+    plt.figure()
     wavelet = Wavelet.build(wavelet)
     scales = process_scales(scales, N, wavelet)
     Psih = np.asarray(wavelet.sample(scales.squeeze(-1), N, xp=np))
@@ -170,11 +172,65 @@ def wavelet_tf(wavelet, N=1024, scale=None, show=True):
     wavelet_waveforms(wavelet, N, scale, show=show)
 
 
+def _sweep(wavelet, prop, N=1024, scales="log", show=True):
+    """Plot a wavelet property (std_t / std_w / harea) across scales
+    (reference: visuals.py sweep_std_t/sweep_std_w/sweep_harea)."""
+    from .wavelets.base import Wavelet
+    from .scales import process_scales
+    plt = _plt()
+    wavelet = Wavelet.build(wavelet)
+    plt.figure()
+    sc_all = process_scales(scales, N, wavelet).squeeze(-1)
+    sc, vals = [], []
+    for s in sc_all[::max(1, len(sc_all) // 64)]:
+        try:
+            vals.append(getattr(wavelet, prop)(float(s), N))
+            sc.append(float(s))
+        except Exception:
+            continue  # scale's support exceeds N: no decay span exists
+    plt.plot(sc, vals)
+    plt.xscale("log")
+    plt.xlabel("scale")
+    plt.title(f"{wavelet.name} {prop} vs scale | N={N}", weight="bold",
+              loc="left")
+    if show:
+        plt.show()
+
+
+def sweep_std_t(wavelet, N=1024, scales="log", show=True):
+    """(reference: visuals.py sweep_std_t)"""
+    _sweep(wavelet, "std_t", N, scales, show)
+
+
+def sweep_std_w(wavelet, N=1024, scales="log", show=True):
+    """(reference: visuals.py sweep_std_w)"""
+    _sweep(wavelet, "std_w", N, scales, show)
+
+
+def sweep_harea(wavelet, N=1024, scales="log", show=True):
+    """(reference: visuals.py sweep_harea)"""
+    _sweep(wavelet, "harea", N, scales, show)
+
+
+def wavelet_tf_anim(wavelet, N=1024, scales=None, n_frames=5, show=True):
+    """Frame-by-frame time-frequency views across scales (the reference's
+    animation, visuals.py wavelet_tf_anim, rendered as static frames)."""
+    from .wavelets.base import Wavelet
+    wavelet = Wavelet.build(wavelet)
+    if scales is None:
+        sc = np.logspace(np.log10(2.0), np.log10(N / 8), n_frames)
+    else:
+        sc = np.asarray(scales).squeeze()[:: max(1, len(scales) // n_frames)]
+    for s in sc:
+        wavelet_waveforms(wavelet, N, float(s), show=show)
+
+
 def viz_gmw_orders(N=1024, orders=(0, 1, 2), gamma=3.0, beta=60.0,
                    scale=10.0, show=True):
     """(reference: visuals.py viz_gmw_orders)"""
     from .wavelets.base import Wavelet
     plt = _plt()
+    plt.figure()
     for k in orders:
         wav = Wavelet.build(("gmw", dict(gamma=gamma, beta=beta,
                                          order=int(k))))

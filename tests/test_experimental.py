@@ -106,3 +106,43 @@ def test_visuals_render():
     plt.close("all")
     visuals.viz_gmw_orders(N=256, orders=(0, 1), show=False)
     plt.close("all")
+
+
+def test_wavelet_viz_and_signal_demo():
+    """Wavelet.viz dispatch + TestSignals.demo/test_transforms render
+    (reference: wavelets.py:342-366, _test_signals.py:465-534)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from ssqueeze_rs_tpu.signals import TestSignals
+
+    wav = sq.Wavelet.build("gmw")
+    for name in ("heatmap", "filterbank", "std_t", "std_w", "harea",
+                 "time-frequency"):
+        wav.viz(name, N=256, show=False)
+        plt.close("all")
+    with pytest.raises(ValueError):
+        wav.viz("nope")
+
+    ts = TestSignals(N=256)
+    data = ts.make_signals(["sine", ("lchirp", dict(fmin=1, fmax=40))],
+                           get_params=True)
+    assert set(data) == {"sine", "lchirp"}
+    x, t, (fp, ap) = data["lchirp"]
+    assert fp == dict(fmin=1, fmax=40) and len(x) == 256
+
+    ts.demo(["sine"], dft="rows")
+    plt.close("all")
+
+    seen = []
+
+    def fn(x, t, params):
+        seen.append(params[0])
+        if params[0] == "sine":
+            return None
+        Wx, _ = sq.cwt(x, "gmw", dtype="float64")
+        return np.abs(np.asarray(Wx)), dict(show=False)
+
+    ts.test_transforms(fn, signals=["sine", "cosine"])
+    plt.close("all")
+    assert seen == ["sine", "cosine"]
