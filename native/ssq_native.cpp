@@ -107,6 +107,131 @@ int ssq_read_chunk_f32(MappedSignal* h, int64_t start, int64_t chunk_len,
 }
 
 // ---------------------------------------------------------------------------
+// 1b. Double-buffered prefetching chunk scheduler
+//
+// A producer thread reads + reflect-pads chunks into a ring of
+// pre-allocated buffers while the consumer (the TPU feed) processes the
+// previous one — the host-IO/device-compute overlap the reference gets
+// from dask's threaded scheduler. Single consumer; the slot returned by
+// ssq_prefetch_next is recycled on the NEXT call.
+// ---------------------------------------------------------------------------
+}  // extern "C"  (std::thread members below; C ABI resumes after)
+
+#include <condition_variable>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+struct Prefetcher {
+    MappedSignal* h;
+    int64_t chunk_len, halo, n_chunks;
+    int32_t depth;
+    size_t slot_elems;
+    std::vector<float> pool;          // depth * n_channels * max_ext
+    std::vector<int64_t> slot_chunk;  // which chunk sits in each slot
+    std::vector<int> state;           // 0 = free, 1 = full
+    int64_t next_fill = 0;            // producer's next chunk index
+    int64_t next_emit = 0;            // consumer's next chunk index
+    int64_t held_slot = -1;           // slot loaned to the consumer
+    bool stop = false;
+    std::mutex mu;
+    std::condition_variable cv_full, cv_free;
+    std::thread worker;
+};
+
+static void prefetch_loop(Prefetcher* p) {
+    while (true) {
+        int slot = -1;
+        int64_t chunk;
+        {
+            std::unique_lock<std::mutex> lk(p->mu);
+            p->cv_free.wait(lk, [&] {
+                if (p->stop || p->next_fill >= p->n_chunks) return true;
+                for (int s = 0; s < p->depth; ++s)
+                    if (p->state[s] == 0 && s != p->held_slot) return true;
+                return false;
+            });
+            if (p->stop || p->next_fill >= p->n_chunks) return;
+            for (int s = 0; s < p->depth; ++s)
+                if (p->state[s] == 0 && s != p->held_slot) { slot = s; break; }
+            chunk = p->next_fill++;
+        }
+        const int64_t start = chunk * p->chunk_len;
+        const int64_t cl = std::min(p->chunk_len, p->h->n_samples - start);
+        ssq_read_chunk_f32(p->h, start, cl, p->halo, p->halo,
+                           p->pool.data() + (size_t)slot * p->slot_elems);
+        {
+            std::lock_guard<std::mutex> lk(p->mu);
+            p->slot_chunk[slot] = chunk;
+            p->state[slot] = 1;
+        }
+        p->cv_full.notify_one();
+    }
+}
+
+extern "C" {
+
+Prefetcher* ssq_prefetch_start(MappedSignal* h, int64_t chunk_len,
+                               int64_t halo, int32_t depth) {
+    if (!h || h->dtype_code != 0 || chunk_len <= 0 || depth < 2)
+        return nullptr;
+    auto* p = new Prefetcher();
+    p->h = h;
+    p->chunk_len = chunk_len;
+    p->halo = halo;
+    p->depth = depth;
+    p->n_chunks = (h->n_samples + chunk_len - 1) / chunk_len;
+    p->slot_elems =
+        (size_t)h->n_channels * (size_t)(chunk_len + 2 * halo);
+    p->pool.resize((size_t)depth * p->slot_elems);
+    p->slot_chunk.assign(depth, -1);
+    p->state.assign(depth, 0);
+    p->worker = std::thread(prefetch_loop, p);
+    return p;
+}
+
+// Blocks until the in-order next chunk is ready. Returns its start sample
+// (or -1 when the recording is exhausted); writes the buffer pointer and
+// the chunk's core length. The buffer stays valid until the next call.
+int64_t ssq_prefetch_next(Prefetcher* p, float** buf_out, int64_t* len_out) {
+    if (!p) return -1;
+    std::unique_lock<std::mutex> lk(p->mu);
+    if (p->held_slot >= 0) {          // recycle the loaned slot
+        p->state[p->held_slot] = 0;
+        p->held_slot = -1;
+        p->cv_free.notify_one();
+    }
+    if (p->next_emit >= p->n_chunks) return -1;
+    const int64_t want = p->next_emit;
+    int slot = -1;
+    p->cv_full.wait(lk, [&] {
+        for (int s = 0; s < p->depth; ++s)
+            if (p->state[s] == 1 && p->slot_chunk[s] == want) {
+                slot = s;
+                return true;
+            }
+        return false;
+    });
+    p->next_emit++;
+    p->held_slot = slot;
+    const int64_t start = want * p->chunk_len;
+    *buf_out = p->pool.data() + (size_t)slot * p->slot_elems;
+    *len_out = std::min(p->chunk_len, p->h->n_samples - start);
+    return start;
+}
+
+void ssq_prefetch_stop(Prefetcher* p) {
+    if (!p) return;
+    {
+        std::lock_guard<std::mutex> lk(p->mu);
+        p->stop = true;
+    }
+    p->cv_free.notify_all();
+    if (p->worker.joinable()) p->worker.join();
+    delete p;
+}
+
+// ---------------------------------------------------------------------------
 // 2. Fused reassignment kernels (CPU oracle / fallback)
 //    Column-parallel — preserves the reference's race-free invariant
 //    (scatter writes are column-local; algos.py:183-192).

@@ -62,6 +62,14 @@ def _load(build: bool = True):
     lib.ssq_tkeo_mod_f32.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float)]
+    lib.ssq_prefetch_start.restype = ctypes.c_void_p
+    lib.ssq_prefetch_start.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_int32]
+    lib.ssq_prefetch_next.restype = ctypes.c_int64
+    lib.ssq_prefetch_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.ssq_prefetch_stop.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -113,6 +121,39 @@ class MappedRecording:
             cl = min(chunk_len, self.n_samples - start)
             yield start, self.read_chunk(start, cl, halo, halo)
             start += chunk_len
+
+    def iter_chunks_prefetch(self, chunk_len: int, halo: int,
+                             depth: int = 3):
+        """Like `iter_chunks` but fed by the native double-buffered
+        prefetch scheduler: a C++ worker thread reads + reflect-pads the
+        next chunks into a `depth`-slot ring while the consumer computes —
+        host IO overlaps device compute (the dask threaded-scheduler
+        analog). Yields (start, chunk) with `chunk` a fresh numpy array.
+        """
+        if self.dtype != np.float32:
+            raise NotImplementedError("prefetch reads are float32")
+        lib = self._lib
+        p = lib.ssq_prefetch_start(self._h, chunk_len, halo, depth)
+        if not p:
+            raise RuntimeError("ssq_prefetch_start failed")
+        try:
+            buf = ctypes.POINTER(ctypes.c_float)()
+            clen = ctypes.c_int64()
+            while True:
+                start = lib.ssq_prefetch_next(p, ctypes.byref(buf),
+                                              ctypes.byref(clen))
+                if start < 0:
+                    break
+                # channel stride in the slot = this chunk's ext (the
+                # reader packs channels contiguously per chunk)
+                ext = int(clen.value) + 2 * halo
+                flat = np.ctypeslib.as_array(
+                    buf, shape=(self.n_channels * ext,))
+                chunk = flat.reshape(self.n_channels, ext)
+                # copy out so the slot can refill while the consumer runs
+                yield int(start), np.array(chunk, copy=True)
+        finally:
+            lib.ssq_prefetch_stop(p)
 
     def close(self):
         if getattr(self, "_h", None):

@@ -15,9 +15,12 @@ recordings larger than HBM.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..utils.common import assert_is_one_of
+from ..utils.pad import p2up
 
 __all__ = ["process_recording"]
 
@@ -39,11 +42,14 @@ def _chunk_iter_array(x, chunk_len, halo):
 def process_recording(source, transform="ssq_cwt", fs=1.0, n_channels=None,
                       chunk_len=1_000_000, halo=None, hop_len=1, n_fft=None,
                       window=None, wavelet="gmw", scales="log-piecewise",
-                      nv=32, dtype="float32", out="numpy", **kw):
+                      nv=32, dtype="float32", out="numpy", prefetch=True,
+                      prefetch_depth=3, **kw):
     """Stream a long multichannel recording through a TF transform.
 
     `source`: path to a raw channel-major float32 file (uses the native
-    mmap reader) or a (n_channels, n_samples) array.
+    mmap reader; with `prefetch`, the C++ double-buffered scheduler
+    overlaps the next chunk's IO with the current chunk's device compute)
+    or a (n_channels, n_samples) array.
 
     Returns (result, meta): result has shape (C, n_rows, ~N/hop) stacked
     along time; meta holds frequencies/scales.
@@ -65,12 +71,17 @@ def process_recording(source, transform="ssq_cwt", fs=1.0, n_channels=None,
         rec = MappedRecording(source, n_channels=n_channels, dtype="float32")
         N = rec.n_samples
         def chunks():
-            start = 0
-            while start < N:
-                cl = min(chunk_len, N - start)
-                yield start, cl, rec.read_chunk(start, cl, halo_eff,
-                                                halo_eff)
-                start += chunk_len
+            if prefetch:
+                for start, chunk in rec.iter_chunks_prefetch(
+                        chunk_len, halo_eff, depth=prefetch_depth):
+                    yield start, chunk.shape[-1] - 2 * halo_eff, chunk
+            else:
+                start = 0
+                while start < N:
+                    cl = min(chunk_len, N - start)
+                    yield start, cl, rec.read_chunk(start, cl, halo_eff,
+                                                    halo_eff)
+                    start += chunk_len
     else:
         x = np.atleast_2d(np.asarray(source))
         N = x.shape[-1]
@@ -89,39 +100,97 @@ def process_recording(source, transform="ssq_cwt", fs=1.0, n_channels=None,
         scales_arr = process_scales(scales, ext_guess + 0, wav, nv=nv)
         if halo is None:
             from .chunked import default_cwt_halo
+            from ..utils.common import WARN
             halo_eff = default_cwt_halo(wav, float(scales_arr.max()))
+            if halo_eff > chunk_len // 2:
+                # the largest scales' support exceeds the chunk; cap like
+                # the reference dask scripts' fixed conservative overlap
+                # (SURVEY §5) — their large-scale rows are edge-approximate
+                # near chunk boundaries in exactly the same way
+                WARN(f"CWT halo for the largest scale ({halo_eff} samples) "
+                     f"exceeds chunk_len/2; capping to {chunk_len // 2} — "
+                     "large-scale rows are approximate near chunk edges "
+                     "(pass `halo=` or raise `chunk_len` to control)")
+                halo_eff = chunk_len // 2
         else:
             halo_eff = int(halo)
 
+    # channel sub-batching: one chunk's transform holds ~20 arrays of
+    # (rows, padded_len) per channel in HBM; split channels so a group
+    # fits the budget (env SSQ_TPU_HBM_BUDGET_GB, default 8)
+    budget = float(os.environ.get("SSQ_TPU_HBM_BUDGET_GB", "8")) * 1e9
+    ext_max = min(chunk_len, N) + 2 * halo_eff
+    if transform in ("stft", "ssq_stft"):
+        rows = n_fft_eff // 2 + 1
+        per_chan = 16 * rows * (ext_max // hop_len) * 4
+    else:
+        rows = len(scales_arr)
+        per_chan = 20 * rows * p2up(ext_max)[0] * 4
+    cbatch = max(1, int(budget // max(per_chan, 1)))
+
+    def _apply(fn, chunk):
+        C = chunk.shape[0]
+        if C <= cbatch:
+            return fn(chunk)
+        parts = [fn(chunk[c0:c0 + cbatch]) for c0 in range(0, C, cbatch)]
+        return np.concatenate(parts, axis=0)
+
+    # per-chunk transforms run under jit (cached per (shape, cl)): on the
+    # axon relay, eager dispatch of the transform graphs is unreliable
+    # (UNIMPLEMENTED at fetch), and jit is faster everywhere else anyway
+    import jax
+    from functools import partial
+    Hl = halo_eff
     outs, meta = [], {}
-    for start, cl, chunk in chunks():
-        Hl = halo_eff
-        if transform == "stft":
-            S = stft(chunk, window=window, n_fft=n_fft_eff, hop_len=hop_len,
+
+    if transform == "stft":
+        @partial(jax.jit, static_argnames=("cl",))
+        def jfn(ch, cl):
+            S = stft(ch, window=window, n_fft=n_fft_eff, hop_len=hop_len,
                      fs=fs, dtype=dtype, **kw)
-            lo, hi = Hl // hop_len, Hl // hop_len + (cl - 1) // hop_len + 1
-            outs.append(np.asarray(S)[..., lo:hi])
-            meta["freqs"] = np.linspace(0, fs / 2, S.shape[-2])
-        elif transform == "ssq_stft":
-            Tx, Sx, ssq_freqs, Sfs = ssq_stft(chunk, window=window,
-                                              n_fft=n_fft_eff,
-                                              hop_len=hop_len, fs=fs,
-                                              dtype=dtype, **kw)
-            lo, hi = Hl // hop_len, Hl // hop_len + (cl - 1) // hop_len + 1
-            outs.append(np.asarray(Tx)[..., lo:hi])
-            meta["ssq_freqs"] = np.asarray(ssq_freqs)
-        elif transform == "cwt":
-            Wx, sc = cwt(chunk, wavelet, scales=scales_arr, fs=fs, nv=None,
+            lo = Hl // hop_len
+            S = S[..., lo:lo + (cl - 1) // hop_len + 1]
+            return S.real, S.imag, None, None
+        meta["freqs"] = np.linspace(0, fs / 2, n_fft_eff // 2 + 1)
+    elif transform == "ssq_stft":
+        @partial(jax.jit, static_argnames=("cl",))
+        def jfn(ch, cl):
+            Tx, Sx, ssq_freqs, Sfs = ssq_stft(
+                ch, window=window, n_fft=n_fft_eff, hop_len=hop_len, fs=fs,
+                dtype=dtype, **kw)
+            lo = Hl // hop_len
+            Tx = Tx[..., lo:lo + (cl - 1) // hop_len + 1]
+            return (Tx.real, Tx.imag,
+                    jnp.asarray(np.asarray(ssq_freqs)), None)
+    elif transform == "cwt":
+        @partial(jax.jit, static_argnames=("cl",))
+        def jfn(ch, cl):
+            Wx, sc = cwt(ch, wavelet, scales=scales_arr, fs=fs, nv=None,
                          dtype=dtype, **kw)
-            outs.append(np.asarray(Wx)[..., Hl:Hl + cl])
-            meta["scales"] = np.asarray(sc)
-        else:  # ssq_cwt
-            Tx, Wx, ssq_freqs, sc = ssq_cwt(chunk, wavelet,
-                                            scales=scales_arr, fs=fs,
-                                            nv=None, dtype=dtype, **kw)
-            outs.append(np.asarray(Tx)[..., Hl:Hl + cl])
-            meta["ssq_freqs"] = np.asarray(ssq_freqs)
-            meta["scales"] = np.asarray(sc)
+            Wx = Wx[..., Hl:Hl + cl]
+            return Wx.real, Wx.imag, None, jnp.asarray(np.asarray(sc))
+    else:  # ssq_cwt
+        @partial(jax.jit, static_argnames=("cl",))
+        def jfn(ch, cl):
+            Tx, Wx, ssq_freqs, sc = ssq_cwt(ch, wavelet, scales=scales_arr,
+                                            fs=fs, nv=None, dtype=dtype,
+                                            **kw)
+            Tx = Tx[..., Hl:Hl + cl]
+            return (Tx.real, Tx.imag,
+                    jnp.asarray(np.asarray(ssq_freqs)),
+                    jnp.asarray(np.asarray(sc)))
+
+    for start, cl, chunk in chunks():
+        def fn(ch, cl=cl):
+            # fetch real/imag planes separately: complex64 device->host
+            # transfers are UNIMPLEMENTED over the axon relay
+            outr, outi, fr, sc = jfn(ch, cl=cl)
+            if fr is not None:
+                meta["ssq_freqs"] = np.asarray(fr)
+            if sc is not None:
+                meta["scales"] = np.asarray(sc)
+            return np.asarray(outr) + 1j * np.asarray(outi)
+        outs.append(_apply(fn, chunk))
 
     result = np.concatenate(outs, axis=-1)
     return result, meta

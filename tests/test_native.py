@@ -77,3 +77,45 @@ def test_native_tkeo():
     ym = native.tkeo_modified_cpu(x)
     ref_m = x[:, 2:-1] * x[:, 1:-2] - x[:, 3:] * x[:, :-3]
     assert np.allclose(ym, ref_m, rtol=1e-4, atol=1e-5)
+
+
+def test_prefetch_matches_direct_reads(tmp_path):
+    """C++ prefetch scheduler yields the same chunks as read_chunk, in
+    order, including the short last chunk."""
+    from ssqueeze_rs_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    C, N = 3, 10_000
+    data = rng.standard_normal((C, N)).astype(np.float32)
+    path = tmp_path / "rec.bin"
+    data.tofile(path)
+
+    with native.MappedRecording(path, n_channels=C) as rec:
+        chunk_len, halo = 3_000, 128
+        got = list(rec.iter_chunks_prefetch(chunk_len, halo, depth=3))
+        want = list(rec.iter_chunks(chunk_len, halo))
+    assert [s for s, _ in got] == [s for s, _ in want]
+    for (s1, a), (s2, b) in zip(got, want):
+        assert a.shape == b.shape, (s1, a.shape, b.shape)
+        assert np.array_equal(a, b), s1
+
+
+def test_pipeline_prefetch_matches_nonprefetch(tmp_path):
+    """process_recording(prefetch=True) == prefetch=False on a file."""
+    from ssqueeze_rs_tpu import native
+    from ssqueeze_rs_tpu.parallel.pipeline import process_recording
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(1)
+    C, N = 2, 4096
+    data = rng.standard_normal((C, N)).astype(np.float32)
+    path = tmp_path / "rec2.bin"
+    data.tofile(path)
+
+    kw = dict(transform="stft", n_channels=C, chunk_len=1500, n_fft=128,
+              hop_len=1, fs=100.0)
+    r1, m1 = process_recording(path, prefetch=True, **kw)
+    r2, m2 = process_recording(path, prefetch=False, **kw)
+    assert r1.shape == r2.shape
+    assert np.array_equal(r1, r2)
