@@ -1,4 +1,7 @@
-from .common import WARN, NOTE, assert_is_one_of, mad, mad_rms, est_riskshrink_thresh
+from .common import (WARN, NOTE, assert_is_one_of, mad, mad_rms,
+                     est_riskshrink_thresh, replace_at_inf_or_nan,
+                     replace_at_inf, replace_at_nan, replace_at_value,
+                     replace_under_abs)
 from .fft import xifn, aifftshift_idx, afftshift_idx
 from .pad import (next_power_of_2, p2up, pad_params, padsignal, unpad,
                   PAD_MODES)

@@ -48,3 +48,46 @@ def est_riskshrink_thresh(Wx, nv):
     N = Wx.shape[-1]
     Wx_fine = np.abs(Wx[..., :nv, :])
     return 1.4826 * np.sqrt(2 * np.log(N)) * mad(Wx_fine)
+
+
+# -- replacers (reference: algos.py:451-557) ----------------------------------
+# Vectorized (numpy/jnp `where`) instead of the reference's numba triple
+# loops + CUDA kernels; dispatch on input type, pure (no in-place mutation).
+def _xp_of(x):
+    import jax.numpy as jnp
+    import jax
+    return jnp if isinstance(x, jax.Array) else np
+
+
+def replace_at_inf_or_nan(x, ref=None, replacement=0.):
+    """x[isinf(ref) | isnan(ref)] = replacement (ref defaults to x)."""
+    xp = _xp_of(x)
+    ref = x if ref is None else ref
+    return xp.where(xp.isinf(ref) | xp.isnan(ref), replacement, x)
+
+
+def replace_at_inf(x, ref=None, replacement=0.):
+    xp = _xp_of(x)
+    ref = x if ref is None else ref
+    return xp.where(xp.isinf(ref), replacement, x)
+
+
+def replace_at_nan(x, ref=None, replacement=0.):
+    xp = _xp_of(x)
+    ref = x if ref is None else ref
+    return xp.where(xp.isnan(ref), replacement, x)
+
+
+def replace_at_value(x, ref=None, value=0., replacement=0.):
+    """Note: `value=np.nan` won't match (use `replace_at_nan`)."""
+    xp = _xp_of(x)
+    ref = x if ref is None else ref
+    return xp.where(ref == value, replacement, x)
+
+
+def replace_under_abs(x, ref=None, value=0., replacement=0., parallel=None):
+    """x[|ref| < value] = replacement; `parallel` accepted for reference
+    API parity (vectorization subsumes it)."""
+    xp = _xp_of(x)
+    ref = x if ref is None else ref
+    return xp.where(xp.abs(ref) < value, replacement, x)

@@ -94,3 +94,35 @@ def test_window_norm_overlap():
     wn = window_norm(w, hop_len=8, n_fft=8, N=32, win_exp=1)
     # non-overlapping unit windows: norm == 1 over each covered stretch
     assert np.allclose(wn[:32], 1)
+
+
+def test_replacers_match_reference_semantics():
+    """(reference: algos.py:451-557) vectorized replacers."""
+    import jax.numpy as jnp
+    from ssqueeze_rs_tpu.utils.common import (
+        replace_at_inf_or_nan, replace_at_inf, replace_at_nan,
+        replace_at_value, replace_under_abs)
+
+    x = np.array([1.0, np.inf, np.nan, -np.inf, 0.5, 0.0])
+    assert np.array_equal(
+        replace_at_inf_or_nan(x.copy(), replacement=9.0),
+        np.array([1.0, 9.0, 9.0, 9.0, 0.5, 0.0]))
+    assert np.array_equal(
+        np.nan_to_num(replace_at_inf(x.copy(), replacement=9.0), nan=-1),
+        np.array([1.0, 9.0, -1.0, 9.0, 0.5, 0.0]))
+    got = replace_at_nan(x.copy(), replacement=9.0)
+    assert got[2] == 9.0 and np.isinf(got[1])
+    assert np.array_equal(
+        np.nan_to_num(replace_at_value(x.copy(), value=0.5,
+                                       replacement=9.0), nan=-1),
+        np.nan_to_num(np.array([1.0, np.inf, np.nan, -np.inf, 9.0, 0.0]),
+                      nan=-1))
+    y = np.array([0.1, -0.05, 2.0])
+    assert np.array_equal(replace_under_abs(y, value=0.2, replacement=0.0),
+                          np.array([0.0, 0.0, 2.0]))
+    # ref argument + jnp dispatch
+    ref = np.array([np.nan, 1.0, 1.0])
+    assert np.array_equal(replace_at_nan(y, ref=ref, replacement=-1.0),
+                          np.array([-1.0, -0.05, 2.0]))
+    jy = replace_under_abs(jnp.asarray(y), value=0.2, replacement=0.0)
+    assert np.array_equal(np.asarray(jy), np.array([0.0, 0.0, 2.0]))
