@@ -227,8 +227,12 @@ def overlap_add(xbuf, window, hop_len: int, n_fft: int, out_len: int,
                 win_exp: int = 1):
     """Overlap-add columns of xbuf (..., n_fft, n_segs) into (..., out_len).
 
-    Deterministic scatter-add (XLA lowers to a single fused scatter);
-    reference: utils/stft_utils.py:141-181.
+    Implemented as a lax.scan of n_fft strided row adds: sample positions
+    t + i*hop (i over frames) form ONE contiguous column of the output
+    viewed as (G, hop) — so each scan step is a dynamic-slice add, never
+    an XLA scatter (scatter-add serializes on TPU: 878 ms for the hop=1
+    160k istft vs ~15 ms for this scan). Fixed t order => deterministic.
+    Reference: utils/stft_utils.py:141-181.
     """
     if win_exp == 0:
         w = jnp.ones_like(window)
@@ -236,11 +240,26 @@ def overlap_add(xbuf, window, hop_len: int, n_fft: int, out_len: int,
         w = window
     else:
         w = window ** win_exp
+    batch = xbuf.shape[:-2]
     n_segs = xbuf.shape[-1]
-    vals = jnp.swapaxes(xbuf, -1, -2) * w  # (..., n_segs, n_fft)
-    idx = (jnp.arange(n_segs) * hop_len)[:, None] + jnp.arange(n_fft)[None, :]
-    out_shape = xbuf.shape[:-2] + (out_len,)
-    return jnp.zeros(out_shape, vals.dtype).at[..., idx].add(vals)
+    v = (xbuf * w[:, None]).reshape((-1, n_fft, n_segs))
+    B = v.shape[0]
+    hop = int(hop_len)
+    G = (n_fft - 1) // hop + n_segs + 1
+    out2 = jnp.zeros((B, G, hop), v.dtype)
+
+    def body(carry, t):
+        vt = jax.lax.dynamic_index_in_dim(v, t, axis=1, keepdims=False)
+        g0 = t // hop
+        r = t % hop
+        cur = jax.lax.dynamic_slice(carry, (0, g0, r), (B, n_segs, 1))
+        carry = jax.lax.dynamic_update_slice(carry, cur + vt[:, :, None],
+                                             (0, g0, r))
+        return carry, None
+
+    out2, _ = jax.lax.scan(body, out2, jnp.arange(n_fft))
+    return out2.reshape((B, G * hop))[..., :out_len].reshape(
+        batch + (out_len,))
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_len", "N", "modulated",
