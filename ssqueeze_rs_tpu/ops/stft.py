@@ -74,13 +74,41 @@ def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
     rdtype = np.dtype(dtype_str)
     use_matmul = (rdtype == np.float32 and n_fft <= MATMUL_NFFT_MAX)
 
+    def frames_T(xp):
+        """framesT[..., j, i] = xp[..., j + i*hop]; built by a scan of
+        n_fft in-place row writes (contiguous reads+writes — never an
+        XLA gather, which serializes on TPU; an unrolled 598-slice stack
+        also compiles for minutes on remote-compile setups)."""
+        L = xp.shape[-1]
+        n_segs = (L - n_fft) // hop_len + 1
+        batch = xp.shape[:-1]
+        if hop_len > 1:
+            xp = jnp.pad(xp, [(0, 0)] * len(batch) + [(0, hop_len - 1)])
+
+        def row(j):
+            seg = jax.lax.dynamic_slice_in_dim(
+                xp, j, n_segs * hop_len, axis=-1)
+            if hop_len > 1:
+                seg = seg.reshape(batch + (n_segs, hop_len))[..., 0]
+            return seg
+
+        def body(buf, j):
+            buf = jax.lax.dynamic_update_index_in_dim(
+                buf, row(j), j, axis=-2)
+            return buf, None
+
+        # derive init from xp so its sharding/varying axes match the
+        # scan body output under shard_map
+        init = (jnp.zeros(batch + (n_fft, n_segs), xp.dtype)
+                + 0 * xp[..., :1, None])
+        framesT, _ = jax.lax.scan(body, init, jnp.arange(n_fft))
+        return framesT
+
     if use_matmul:
-        # frames built as n_fft strided SLICES stacked on the minor axis
-        # (cheap contiguous copies — never an XLA gather, which serializes
-        # on TPU), then every DFT bin of every frame comes from one MXU
-        # matmul. (A lax.conv formulation is equally fast alone but
-        # pathologically deoptimizes when a Mosaic kernel shares the
-        # module, hence slices+dot.)
+        # every DFT bin of every frame from one MXU matmul over the
+        # scan-built frames. (A lax.conv formulation is equally fast
+        # alone but pathologically deoptimizes when a Mosaic kernel
+        # shares the module, hence slices+dot.)
         n_freqs = n_fft // 2 + 1
         F1 = _dft_matrix(window, n_fft, modulated)
         mats = [F1.real, F1.imag]              # (n_fft, n_freqs) each
@@ -93,35 +121,7 @@ def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
 
         @jax.jit
         def run(xp, fs):
-            L = xp.shape[-1]
-            n_segs = (L - n_fft) // hop_len + 1
-            batch = xp.shape[:-1]
-            # framesT[..., j, i] = xp[..., j + i*hop]; built by a scan of
-            # n_fft in-place row writes (contiguous reads+writes; keeps the
-            # traced graph tiny — an unrolled 598-slice stack compiles for
-            # minutes on remote-compile setups)
-            if hop_len > 1:
-                xp = jnp.pad(xp, [(0, 0)] * len(batch) +
-                             [(0, hop_len - 1)])
-
-            def row(j):
-                seg = jax.lax.dynamic_slice_in_dim(
-                    xp, j, n_segs * hop_len, axis=-1)
-                if hop_len > 1:
-                    seg = seg.reshape(batch + (n_segs, hop_len))[..., 0]
-                return seg
-
-            def body(buf, j):
-                buf = jax.lax.dynamic_update_index_in_dim(
-                    buf, row(j), j, axis=-2)
-                return buf, None
-
-            # derive init from xp so its sharding/varying axes match the
-            # scan body output under shard_map
-            init = (jnp.zeros(batch + (n_fft, n_segs), xp.dtype)
-                    + 0 * xp[..., :1, None])
-            framesT, _ = jax.lax.scan(body, init, jnp.arange(n_fft))
-
+            framesT = frames_T(xp)
             out = jnp.einsum("fk,...kn->...fn", jnp.asarray(K_np.T),
                              framesT,
                              precision=jax.lax.Precision.HIGHEST,
@@ -144,18 +144,18 @@ def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
 
         @jax.jit
         def run(xp, fs):
-            frames = frame_signal(xp, n_fft, hop_len)
+            framesT = frames_T(xp)              # (..., n_fft, n_segs)
             win_j = jnp.asarray(win_np)
             dwin_j = jnp.asarray(dwin_np) if derivative else None
 
             def _one(win, scale=None):
-                fw = frames * win
+                fw = framesT * win[:, None]
                 if modulated:
-                    fw = jnp.fft.ifftshift(fw, axes=-1)
-                S = jnp.fft.rfft(fw, axis=-1)
+                    fw = jnp.fft.ifftshift(fw, axes=-2)
+                S = jnp.fft.rfft(fw, axis=-2)   # (..., n_freqs, n_segs)
                 if scale is not None:
                     S = S * scale
-                return jnp.swapaxes(S, -1, -2)
+                return S
 
             Sx = _one(win_j)
             if derivative:
