@@ -74,7 +74,7 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
                           use_mxu_fft, best_split)
     mxu = (xp.dtype == jnp.float32 and use_mxu_fft() and
            best_split(M) is not None)
-    planar = planar_out and mxu and _psih_is_real(wavelet)
+    planar = mxu and _psih_is_real(wavelet)
     if planar_out and not planar:
         raise ValueError("planar_out requires the MXU half-band path and "
                          "a real-valued psih")
@@ -113,8 +113,17 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
             nyq_i = jnp.concatenate([zeros, znyq * (np.pi / dt)])
         else:
             nyq_r, nyq_i = znyq, zeros
-        xr, xi_p = ifft_mxu_halfband_planar(Zr, Zi, keep=keep,
-                                            nyq_r=nyq_r, nyq_i=nyq_i)
+        from ..config import use_pallas_kernels
+        from .fft_pallas import ifft_halfband_planar_fused, fused_ok
+        if use_pallas_kernels() and fused_ok(M):
+            # fused Pallas four-step: both stage dots + twiddle + unpad
+            # + Nyquist inside VMEM per row — ~1.7x over the XLA planar
+            # engine (memory-bound: skips the ~1.2 GB HBM intermediates)
+            xr, xi_p = ifft_halfband_planar_fused(Zr, Zi, keep=keep,
+                                                  nyq_r=nyq_r, nyq_i=nyq_i)
+        else:
+            xr, xi_p = ifft_mxu_halfband_planar(Zr, Zi, keep=keep,
+                                                nyq_r=nyq_r, nyq_i=nyq_i)
         L = keep[1]
         shp = batch + (na, L)
         if not l1_norm:
@@ -125,7 +134,11 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
         planes_w = (xr[:b * na].reshape(shp), xi_p[:b * na].reshape(shp))
         planes_d = ((xr[b * na:].reshape(shp), xi_p[b * na:].reshape(shp))
                     if derivative else None)
-        return planes_w, planes_d
+        if planar_out:
+            return planes_w, planes_d
+        Wx = jax.lax.complex(*planes_w)
+        dWx = jax.lax.complex(*planes_d) if derivative else None
+        return (Wx, dWx) if derivative else (Wx, None)
     elif mxu:
         # complex half-band path (non-real psih, e.g. bump with om != 0)
         xh = jnp.fft.rfft(xp, axis=-1)                    # (..., M/2+1)
