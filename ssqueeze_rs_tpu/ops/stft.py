@@ -76,33 +76,43 @@ def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
 
     def frames_T(xp):
         """framesT[..., j, i] = xp[..., j + i*hop]; built by a scan of
-        n_fft in-place row writes (contiguous reads+writes — never an
+        GROUPED in-place row writes (contiguous reads+writes — never an
         XLA gather, which serializes on TPU; an unrolled 598-slice stack
-        also compiles for minutes on remote-compile setups)."""
+        also compiles for minutes on remote-compile setups). 8 rows per
+        scan step: the sequential while-loop's per-step overhead (~30 us)
+        dominated the old 1-row version (~15 ms of the 26 ms STFT)."""
+        G = 8
         L = xp.shape[-1]
         n_segs = (L - n_fft) // hop_len + 1
         batch = xp.shape[:-1]
-        if hop_len > 1:
-            xp = jnp.pad(xp, [(0, 0)] * len(batch) + [(0, hop_len - 1)])
+        # pad so every grouped read of n_segs*hop + G - 1 stays in range
+        xp = jnp.pad(xp, [(0, 0)] * len(batch) + [(0, hop_len - 1 + G)])
 
-        def row(j):
+        def rows(j):   # (..., G, n_segs) for window offsets j..j+G-1
             seg = jax.lax.dynamic_slice_in_dim(
-                xp, j, n_segs * hop_len, axis=-1)
-            if hop_len > 1:
-                seg = seg.reshape(batch + (n_segs, hop_len))[..., 0]
-            return seg
+                xp, j, n_segs * hop_len + G - 1, axis=-1)
+            outs = []
+            for r in range(G):
+                s = jax.lax.slice_in_dim(seg, r, r + n_segs * hop_len,
+                                         axis=-1)
+                if hop_len > 1:
+                    s = s.reshape(batch + (n_segs, hop_len))[..., 0]
+                outs.append(s)
+            return jnp.stack(outs, axis=-2)
 
-        def body(buf, j):
-            buf = jax.lax.dynamic_update_index_in_dim(
-                buf, row(j), j, axis=-2)
+        def body(buf, g):
+            buf = jax.lax.dynamic_update_slice_in_dim(
+                buf, rows(g * G), g * G, axis=-2)
             return buf, None
 
+        n_groups = -(-n_fft // G)
         # derive init from xp so its sharding/varying axes match the
-        # scan body output under shard_map
-        init = (jnp.zeros(batch + (n_fft, n_segs), xp.dtype)
+        # scan body output under shard_map; over-allocate to a multiple
+        # of G and trim after
+        init = (jnp.zeros(batch + (n_groups * G, n_segs), xp.dtype)
                 + 0 * xp[..., :1, None])
-        framesT, _ = jax.lax.scan(body, init, jnp.arange(n_fft))
-        return framesT
+        framesT, _ = jax.lax.scan(body, init, jnp.arange(n_groups))
+        return framesT[..., :n_fft, :]
 
     if use_matmul:
         # every DFT bin of every frame from one MXU matmul over the
@@ -245,6 +255,31 @@ def overlap_add(xbuf, window, hop_len: int, n_fft: int, out_len: int,
     v = (xbuf * w[:, None]).reshape((-1, n_fft, n_segs))
     B = v.shape[0]
     hop = int(hop_len)
+
+    if hop == 1:
+        # grouped: combine 8 window offsets in registers, one slice-add
+        # per group (the 1-row scan's per-step overhead dominated)
+        G8 = 8
+        n_groups = -(-n_fft // G8)
+        pad_rows = n_groups * G8 - n_fft
+        if pad_rows:
+            v = jnp.pad(v, ((0, 0), (0, pad_rows), (0, 0)))
+        Lacc = n_segs + G8 - 1
+        Lpad = n_groups * G8 + n_segs + G8
+        out = jnp.zeros((B, Lpad), v.dtype)
+
+        def body(out, g):
+            t0 = g * G8
+            rows8 = jax.lax.dynamic_slice_in_dim(v, t0, G8, axis=-2)
+            acc = sum(jnp.pad(rows8[:, r, :], ((0, 0), (r, G8 - 1 - r)))
+                      for r in range(G8))
+            cur = jax.lax.dynamic_slice(out, (0, t0), (B, Lacc))
+            out = jax.lax.dynamic_update_slice(out, cur + acc, (0, t0))
+            return out, None
+
+        out, _ = jax.lax.scan(body, out, jnp.arange(n_groups))
+        return out[..., :out_len].reshape(batch + (out_len,))
+
     G = (n_fft - 1) // hop + n_segs + 1
     out2 = jnp.zeros((B, G, hop), v.dtype)
 
@@ -262,12 +297,39 @@ def overlap_add(xbuf, window, hop_len: int, n_fft: int, out_len: int,
         batch + (out_len,))
 
 
+@lru_cache(maxsize=64)
+def _irfft_mats(n_fft: int, modulated: bool):
+    """Host matrices for irfft(+fftshift) as one real matmul:
+    xbuf[t] = sum_k Fr[t,k]*Re(Sx[k]) - Fs[t,k]*Im(Sx[k]).
+    Non-power-of-2 n_fft (the reference benchmark's 598) otherwise hits
+    XLA's Bluestein FFT (~30x slower than the MXU)."""
+    n_freqs = n_fft // 2 + 1
+    t = np.arange(n_fft)
+    tsrc = (t + n_fft // 2) % n_fft if modulated else t
+    k = np.arange(n_freqs)
+    wgt = np.full(n_freqs, 2.0)
+    wgt[0] = 1.0
+    if n_fft % 2 == 0:
+        wgt[-1] = 1.0
+    ang = 2 * np.pi * np.outer(tsrc, k) / n_fft
+    Fr = (np.cos(ang) * wgt / n_fft).astype(np.float32)
+    Fs = (np.sin(ang) * wgt / n_fft).astype(np.float32)
+    return Fr, Fs
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop_len", "N", "modulated",
                                    "win_exp"))
 def istft_core(Sx, window, wn, *, n_fft, hop_len, N, modulated, win_exp):
-    xbuf = jnp.fft.irfft(Sx, n=n_fft, axis=-2)
-    if modulated:
-        xbuf = jnp.fft.fftshift(xbuf, axes=-2)
+    if Sx.dtype == jnp.complex64 and n_fft <= MATMUL_NFFT_MAX:
+        Fr_np, Fs_np = _irfft_mats(n_fft, modulated)
+        xbuf = (jnp.einsum("tk,...kn->...tn", jnp.asarray(Fr_np), Sx.real,
+                           precision=jax.lax.Precision.HIGHEST) -
+                jnp.einsum("tk,...kn->...tn", jnp.asarray(Fs_np), Sx.imag,
+                           precision=jax.lax.Precision.HIGHEST))
+    else:
+        xbuf = jnp.fft.irfft(Sx, n=n_fft, axis=-2)
+        if modulated:
+            xbuf = jnp.fft.fftshift(xbuf, axes=-2)
 
     x = overlap_add(xbuf, window, hop_len, n_fft, N + n_fft - 1, win_exp)
 
