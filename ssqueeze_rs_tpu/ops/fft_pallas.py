@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fft_mxu import best_split, _flat_consts  # reuse host constants
+from .fft_mxu import best_split
 from ..config import interpret_mode
 
 __all__ = ["ifft_halfband_planar_fused", "fused_ok"]
