@@ -27,7 +27,7 @@ from ..config import DEFAULTS, complex_dtype
 from ..scales import (process_scales, process_fs_and_t,
                       logscale_transition_idx)
 from ..utils.fft import xifn
-from ..utils.pad import padsignal, pad_params
+from ..utils.pad import padsignal
 from ..wavelets.base import Wavelet
 from ..wavelets.adm import adm_cwt, adm_ssq
 

@@ -1,7 +1,8 @@
 """Short-Time Fourier Transform, forward & inverse (TPU-native).
 
 Design (vs reference old/ssqueezepy/_stft.py + utils/stft_utils.py):
-  * framing is one strided gather -> (..., n_segs, n_fft) tensor,
+  * framing is a lax.scan of grouped strided row writes (never an XLA
+    gather, which serializes on TPU),
   * the windowed DFT runs as ONE MXU MATMUL for float32 and
     n_fft <= 2048: the window, the "modulated" per-bin twiddle
     (rfft(ifftshift(v*w))[k] = e^{2pi i k s20/n} rfft(v*w)[k]) and the
@@ -28,7 +29,7 @@ import jax.numpy as jnp
 
 from ..config import DEFAULTS
 from ..scales import process_fs_and_t
-from ..utils.pad import pad_params, padsignal
+from ..utils.pad import padsignal
 from ..utils.windows import get_window, window_norm, check_nola
 
 __all__ = ["stft", "istft", "stft_core", "get_window", "overlap_add",
@@ -38,7 +39,11 @@ MATMUL_NFFT_MAX = 2048
 
 
 def frame_signal(xp, n_fft: int, hop_len: int):
-    """Strided framing: (..., L) -> (..., n_segs, n_fft)."""
+    """Strided framing: (..., L) -> (..., n_segs, n_fft).
+
+    Utility (reference `buffer`, utils/stft_utils.py:20-98). NOTE: uses
+    fancy indexing = an XLA gather; fine on CPU, serializes on TPU — the
+    transforms use the scan-based `frames_T` builder instead."""
     L = xp.shape[-1]
     n_segs = (L - n_fft) // hop_len + 1
     starts = jnp.arange(n_segs) * hop_len

@@ -13,7 +13,7 @@ the vmap/broadcast replacement for the reference's per-scale loops
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache, cached_property
 
 import numpy as np
