@@ -129,6 +129,10 @@ def ifft_mxu(X, precision=jax.lax.Precision.HIGH):
     """
     M = X.shape[-1]
     plan = radix_plan(M)
+    if plan is None:
+        raise ValueError(
+            f"ifft_mxu requires a power-of-2 length with factors <= 2048 "
+            f"(M <= 2^22); got M={M}. Use jnp.fft.ifft instead.")
     if len(plan) == 2 and os.environ.get("SSQ_TPU_FFT_RADIX", "") != "deep":
         M1, M2 = best_split(M)
         Xk = X.reshape(X.shape[:-1] + (M1, M2))
@@ -256,6 +260,16 @@ def _planar_consts(M: int, r0: int, r1: int):
             T.imag.astype(np.float32), W2s.astype(np.float32))
 
 
+def _check_nyq(nyq_r, nyq_i, B, dtype):
+    # both-or-neither Nyquist planes; default zeros
+    if (nyq_r is None) != (nyq_i is None):
+        raise ValueError("provide both `nyq_r` and `nyq_i`, or neither")
+    if nyq_r is None:
+        z = jnp.zeros((B,), dtype)
+        return z, z
+    return nyq_r, nyq_i
+
+
 def ifft_mxu_halfband_planar(Zr, Zi, keep=None, nyq_r=None, nyq_i=None,
                              precision=jax.lax.Precision.HIGH):
     """Planar half-band inverse FFT.
@@ -282,6 +296,7 @@ def ifft_mxu_halfband_planar(Zr, Zi, keep=None, nyq_r=None, nyq_i=None,
     M = M1 * M2
     if keep is None:
         keep = (0, M)
+    nyq_r, nyq_i = _check_nyq(nyq_r, nyq_i, B, Zr.dtype)
     start, length = keep
     r0 = start // M1
     r1 = -(-(start + length) // M1)
@@ -303,8 +318,7 @@ def ifft_mxu_halfband_planar(Zr, Zi, keep=None, nyq_r=None, nyq_i=None,
     off = start - r0 * M1
     xr = OUT[:, 0, off:off + length]
     xi = OUT[:, 1, off:off + length]
-    if nyq_r is not None:
-        alt = jnp.asarray(_alt_sign(M))[start:start + length]
-        xr = xr + nyq_r[:, None] * alt
-        xi = xi + nyq_i[:, None] * alt
+    alt = jnp.asarray(_alt_sign(M))[start:start + length]
+    xr = xr + nyq_r[:, None] * alt
+    xi = xi + nyq_i[:, None] * alt
     return xr, xi

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fft_mxu import best_split
+from .fft_mxu import best_split, _planar_consts, _alt_sign, _check_nyq
 from ..config import interpret_mode
 
 __all__ = ["ifft_halfband_planar_fused", "fused_ok"]
@@ -40,31 +40,23 @@ def fused_ok(M: int) -> bool:
 
 @functools.lru_cache(maxsize=32)
 def _fused_consts(M: int, r0: int, r1: int):
-    """Host constants: W1s (2M1, M1) stacked-real truncated iDFT,
-    Tr/Ti (M1, M2) twiddle planes, W2sT (2M2, 2R) stage-2 matrix
-    (transposed, 1/M folded), for output rows n2 in [r0, r1)."""
-    M1, M2 = best_split(M)
-    K1 = M1 // 2
-    n1 = np.arange(M1)
-    W1 = np.exp(2j * np.pi * np.outer(n1, np.arange(K1)) / M1)
-    W1s = np.block([[W1.real, -W1.imag], [W1.imag, W1.real]])
-    T = np.exp(2j * np.pi * np.outer(n1, np.arange(M2)) / M)
-    n2 = np.arange(r0, r1)
-    W2 = np.exp(2j * np.pi * np.outer(n2, np.arange(M2)) / M2) / M
-    W2sT = np.ascontiguousarray(
-        np.block([[W2.real, -W2.imag], [W2.imag, W2.real]]).T)
-    alt = ((-1.0) ** np.arange(M) / M).astype(np.float32)
+    """Kernel constants derived from the SHARED XLA-engine constants
+    (fft_mxu._planar_consts — single source of truth for the stacked-real
+    stage matrices): W2s transposed for the in-kernel dot orientation,
+    and both stage matrices bf16 hi/lo split for the explicit 3-pass
+    f32-accurate matmul (Mosaic supports neither Precision.HIGH nor
+    DotAlgorithm presets)."""
+    W1s, Tr, Ti, W2s = _planar_consts(M, r0, r1)
+    W2sT = np.ascontiguousarray(W2s.T)
 
     def split(a):
-        """bf16 hi/lo split (for in-kernel 3-pass f32-accurate matmul —
-        Mosaic supports neither Precision.HIGH nor DotAlgorithm presets)."""
         import ml_dtypes
         hi = a.astype(ml_dtypes.bfloat16)
-        lo = (a - hi.astype(np.float64)).astype(ml_dtypes.bfloat16)
+        lo = (a.astype(np.float64) - hi.astype(np.float64)).astype(
+            ml_dtypes.bfloat16)
         return hi, lo
 
-    return (split(W1s), T.real.astype(np.float32),
-            T.imag.astype(np.float32), split(W2sT), alt)
+    return split(W1s), Tr, Ti, split(W2sT), _alt_sign(M)
 
 
 def _split_bf16(x):
@@ -171,8 +163,6 @@ def ifft_halfband_planar_fused(Zr, Zi, keep=None, nyq_r=None, nyq_i=None,
     M = 2 * K1 * M2
     if keep is None:
         keep = (0, M)
-    if nyq_r is None:
-        nyq_r = jnp.zeros((B,), Zr.dtype)
-        nyq_i = jnp.zeros((B,), Zr.dtype)
+    nyq_r, nyq_i = _check_nyq(nyq_r, nyq_i, B, Zr.dtype)
     return _fused_call(Zr, Zi, nyq_r, nyq_i, M=M, keep=tuple(keep),
                        interpret=interpret)

@@ -279,6 +279,12 @@ def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
     (phase + bin + scatter in one program), requiring `dWx` and `gamma`.
     `dWx` and `wx_planes` may be (real, imag) f32 plane tuples (planar CWT
     path) — consumed directly by the Pallas kernel, no c64 round-trip.
+
+    NOTE (reference-parity semantics, ssqueezing.py:197-205): with
+    squeezing='lebesgue'/'abs'/callable and `w=None`, the phase transform
+    is derived from the TRANSFORMED Wx — exactly as the reference's fused
+    `ssqueeze_fast` does. Pass `get_w=True` upstream (two-step path) to
+    compute phases from the original Wx.
     """
     if w is None and (dWx is None or gamma is None):
         raise ValueError("if `w` is None, `dWx` and `gamma` must not be.")

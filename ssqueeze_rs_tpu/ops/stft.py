@@ -59,8 +59,10 @@ def _dft_matrix(window, n_fft, modulated):
     w = np.asarray(window, np.float64)
     F = np.exp(-2j * np.pi * np.outer(t, k) / n_fft)
     if modulated:
-        s20 = int(np.ceil(n_fft / 2))
-        F = F * np.exp(2j * np.pi * k * s20 / n_fft)[None, :]
+        # rfft(ifftshift(v))[k] = e^{2i pi k (n//2) / n} rfft(v)[k]
+        # (floor, not ceil: ifftshift rolls by -(n//2); wrong for odd n
+        # otherwise — verified numerically for n = 8, 9, 599)
+        F = F * np.exp(2j * np.pi * k * (n_fft // 2) / n_fft)[None, :]
     return F * w[:, None]
 
 
@@ -310,7 +312,9 @@ def _irfft_mats(n_fft: int, modulated: bool):
     XLA's Bluestein FFT (~30x slower than the MXU)."""
     n_freqs = n_fft // 2 + 1
     t = np.arange(n_fft)
-    tsrc = (t + n_fft // 2) % n_fft if modulated else t
+    # fftshift rolls by +(n//2): out[t] = in[(t - n//2) % n], i.e. source
+    # index (t + (n+1)//2) % n — ceil, wrong for odd n otherwise
+    tsrc = (t + (n_fft + 1) // 2) % n_fft if modulated else t
     k = np.arange(n_freqs)
     wgt = np.full(n_freqs, 2.0)
     wgt[0] = 1.0

@@ -26,9 +26,19 @@ __all__ = ["initialize", "make_host_chip_mesh", "global_from_local",
 _initialized = False
 
 
+def _runtime_initialized() -> bool:
+    """Has jax.distributed been initialized (by us or the launcher)?"""
+    try:
+        from jax._src import distributed as _dist
+        return _dist.global_state.client is not None
+    except Exception:
+        return _initialized
+
+
 def is_distributed() -> bool:
-    """True once `jax.distributed.initialize` has run (multi-process)."""
-    return _initialized and jax.process_count() > 1
+    """True when the multi-process runtime is up (initialized by this
+    module OR externally, e.g. a launcher script)."""
+    return _runtime_initialized() and jax.process_count() > 1
 
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None,
@@ -41,7 +51,8 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
     is a no-op and the process runs single-host.
     """
     global _initialized
-    if _initialized:
+    if _initialized or _runtime_initialized():
+        _initialized = True
         return
     coordinator_address = (coordinator_address or
                            os.environ.get("JAX_COORDINATOR_ADDRESS"))

@@ -264,13 +264,17 @@ class TestSignals:
         entries may be (name, kwargs) pairs. With `get_params`, values are
         (x, t, (fparams, aparams)) (reference: _test_signals.py:536-593).
         """
+        def is_spec(t):   # (name, kwargs) pair vs a tuple of names
+            return (isinstance(t, tuple) and len(t) == 2 and
+                    isinstance(t[0], str) and isinstance(t[1], dict))
+
         if signals == "all":
             signals = list(self.SUPPORTED)
-        elif isinstance(signals, (str, tuple)):
+        elif isinstance(signals, str) or is_spec(signals):
             signals = [signals]
         out = {}
         for spec in signals:
-            name, kw = spec if isinstance(spec, tuple) else (spec, {})
+            name, kw = spec if is_spec(spec) else (spec, {})
             x, t = getattr(self, name)(N=N, **kw)
             out[name] = ((x, t, (dict(kw), dict(snr=self.snr)))
                          if get_params else (x, t))

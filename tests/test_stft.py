@@ -108,3 +108,26 @@ def test_stft_matmul_matches_fft_path(monkeypatch):
         scale = np.abs(S64).max()
         assert np.abs(S32m - S64).max() / scale < 5e-6, (n_fft, hop)
         assert np.abs(S32m - S32f).max() / scale < 5e-6, (n_fft, hop)
+
+
+def test_modulated_matmul_odd_nfft_matches_fft_path():
+    """The matmul STFT/istft twiddle conventions for ODD n_fft (floor vs
+    ceil shift — both were wrong, complementarily, before): f32 matmul
+    branch vs f64 FFT branch on the same input."""
+    import jax.numpy as jnp
+    from ssqueeze_rs_tpu import stft, istft
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(512)
+    for n_fft in (9, 121, 255):
+        S32 = np.asarray(stft(x, window="hann", n_fft=n_fft, hop_len=3,
+                              dtype="float32"))
+        S64 = np.asarray(stft(x, window="hann", n_fft=n_fft, hop_len=3,
+                              dtype="float64"))
+        rel = np.max(np.abs(S32 - S64)) / np.max(np.abs(S64))
+        assert rel < 1e-4, (n_fft, rel)
+        # inverse: feed the f64-branch spectrum into the f32 matmul istft
+        xr = np.asarray(istft(jnp.asarray(S64.astype(np.complex64)),
+                              window="hann", n_fft=n_fft, hop_len=3,
+                              N=len(x)))
+        err = np.mean(np.abs(x - xr)) / np.sqrt(np.mean(x ** 2))
+        assert err < 1e-4, (n_fft, err)
