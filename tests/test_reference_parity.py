@@ -192,3 +192,29 @@ def test_ridge_parity():
     ours = sq.extract_ridges(Wx, scales, penalty=2.0, n_ridges=1, bw=15)
     agree = (ref.squeeze() == ours.squeeze()).mean()
     assert agree > 0.95, agree
+
+
+def test_stft_odd_nfft_parity(x64):
+    """Odd n_fft exercises the (i)fftshift roll conventions (floor vs
+    ceil) in the matmul DFT branches (reference: _stft.py:132-135)."""
+    for n_fft in (9, 121):
+        ours = np.asarray(sq.stft(x64, n_fft=n_fft, hop_len=3,
+                                  window="hann", dtype="float64"))
+        ref = np.asarray(ssq_ref.stft(x64, n_fft=n_fft, hop_len=3,
+                                      window="hann", dtype="float64"))
+        assert np.allclose(ours, ref, atol=1e-10), (
+            n_fft, np.max(np.abs(ours - ref)))
+
+
+def test_istft_odd_nfft_parity(x64):
+    """Round-trip + direct comparison of istft for odd n_fft."""
+    for n_fft in (9, 121):
+        Sx = ssq_ref.stft(x64, n_fft=n_fft, hop_len=1, window="hann",
+                          dtype="float64")
+        ref = np.asarray(ssq_ref.istft(np.asarray(Sx), n_fft=n_fft,
+                                       hop_len=1, window="hann",
+                                       N=len(x64)))
+        ours = np.asarray(sq.istft(np.asarray(Sx), n_fft=n_fft, hop_len=1,
+                                   window="hann", N=len(x64)))
+        assert np.allclose(ours, ref, atol=1e-10), (
+            n_fft, np.max(np.abs(ours - ref)))
