@@ -93,47 +93,58 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
         xig = _xi_grid_np(M)                              # (K1, M2) host
         Pw = wavelet.psih(scales[:, None, None] *
                           jnp.asarray(xig)[None, :, :], jnp).astype(rdt)
-        xrh = xh.real[..., :M // 2].reshape(b, 1, K1, M2)
-        xih = xh.imag[..., :M // 2].reshape(b, 1, K1, M2)
-        Zr = (Pw[None] * xrh).reshape(b * na, K1, M2)
-        Zi = (Pw[None] * xih).reshape(b * na, K1, M2)
         # Nyquist bin: psih(scale*pi)/2 * real(xh[M/2])
         pnyq = (wavelet.psih(scales * np.float32(np.pi), jnp) / 2).astype(rdt)
         znyq = (xh[:, -1].real.astype(rdt)[:, None] *
                 pnyq[None, :]).reshape(b * na)
         zeros = jnp.zeros_like(znyq)
         keep = (0, M) if rpadded else (n1, N)
-        if derivative:
-            xi_b = jnp.asarray(xig)[None, :, :] / dt
-            dZr = -Zi * xi_b
-            dZi = Zr * xi_b
-            Zr = jnp.concatenate([Zr, dZr], axis=0)
-            Zi = jnp.concatenate([Zi, dZi], axis=0)
-            nyq_r = jnp.concatenate([znyq, zeros])
-            nyq_i = jnp.concatenate([zeros, znyq * (np.pi / dt)])
-        else:
-            nyq_r, nyq_i = znyq, zeros
         from ..config import use_pallas_kernels
-        from .fft_pallas import ifft_halfband_planar_fused, fused_ok
-        if use_pallas_kernels() and fused_ok(M):
-            # fused Pallas four-step: both stage dots + twiddle + unpad
-            # + Nyquist inside VMEM per row — ~1.7x over the XLA planar
-            # engine (memory-bound: skips the ~1.2 GB HBM intermediates)
-            xr, xi_p = ifft_halfband_planar_fused(Zr, Zi, keep=keep,
-                                                  nyq_r=nyq_r, nyq_i=nyq_i)
+        from .fft_pallas import (ifft_halfband_planar_fused,
+                                 cwt_halfband_fused, fused_ok)
+        fused = use_pallas_kernels() and fused_ok(M)
+
+        if fused and b == 1:
+            # single-signal fully fused kernel: the Z = psih * xhat
+            # filterbank multiply ALSO happens in VMEM, so the (B, K1,
+            # M2) Z planes never round-trip HBM (~1.2 GB saved)
+            xrg = xh.real[0, :M // 2].reshape(K1, M2)
+            xig_im = xh.imag[0, :M // 2].reshape(K1, M2)
+            wxr, wxi, dxr, dxi = cwt_halfband_fused(
+                Pw, xrg, xig_im, jnp.asarray(xig), 1.0 / dt,
+                (znyq, zeros), (zeros, znyq * (np.pi / dt)),
+                keep=keep, derivative=derivative)
+            planes = ((wxr, wxi), (dxr, dxi) if derivative else None)
         else:
-            xr, xi_p = ifft_mxu_halfband_planar(Zr, Zi, keep=keep,
-                                                nyq_r=nyq_r, nyq_i=nyq_i)
+            xrh = xh.real[..., :M // 2].reshape(b, 1, K1, M2)
+            xih = xh.imag[..., :M // 2].reshape(b, 1, K1, M2)
+            Zr = (Pw[None] * xrh).reshape(b * na, K1, M2)
+            Zi = (Pw[None] * xih).reshape(b * na, K1, M2)
+            if derivative:
+                xi_b = jnp.asarray(xig)[None, :, :] / dt
+                Zr, Zi = (jnp.concatenate([Zr, -Zi * xi_b], axis=0),
+                          jnp.concatenate([Zi, Zr * xi_b], axis=0))
+                nyq_r = jnp.concatenate([znyq, zeros])
+                nyq_i = jnp.concatenate([zeros, znyq * (np.pi / dt)])
+            else:
+                nyq_r, nyq_i = znyq, zeros
+            engine = (ifft_halfband_planar_fused if fused
+                      else ifft_mxu_halfband_planar)
+            xr, xi_p = engine(Zr, Zi, keep=keep, nyq_r=nyq_r, nyq_i=nyq_i)
+            planes = ((xr[:b * na], xi_p[:b * na]),
+                      (xr[b * na:], xi_p[b * na:]) if derivative else None)
+
         L = keep[1]
         shp = batch + (na, L)
         if not l1_norm:
-            root = jnp.sqrt(scales).astype(rdt)
-            root_b = jnp.tile(root, 2 * b if derivative else b)[:, None]
-            xr = xr * root_b
-            xi_p = xi_p * root_b
-        planes_w = (xr[:b * na].reshape(shp), xi_p[:b * na].reshape(shp))
-        planes_d = ((xr[b * na:].reshape(shp), xi_p[b * na:].reshape(shp))
-                    if derivative else None)
+            root = jnp.sqrt(scales).astype(rdt)[:, None]
+            pw, pd = planes
+            pw = (pw[0] * root, pw[1] * root)
+            pd = (pd[0] * root, pd[1] * root) if pd is not None else None
+            planes = (pw, pd)
+        planes_w = (planes[0][0].reshape(shp), planes[0][1].reshape(shp))
+        planes_d = ((planes[1][0].reshape(shp), planes[1][1].reshape(shp))
+                    if planes[1] is not None else None)
         if planar_out:
             return planes_w, planes_d
         Wx = jax.lax.complex(*planes_w)

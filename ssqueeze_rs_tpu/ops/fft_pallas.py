@@ -28,7 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .fft_mxu import best_split, _planar_consts, _alt_sign, _check_nyq
 from ..config import interpret_mode
 
-__all__ = ["ifft_halfband_planar_fused", "fused_ok"]
+__all__ = ["ifft_halfband_planar_fused", "cwt_halfband_fused",
+           "fused_ok"]
 
 
 def fused_ok(M: int) -> bool:
@@ -166,3 +167,121 @@ def ifft_halfband_planar_fused(Zr, Zi, keep=None, nyq_r=None, nyq_i=None,
     nyq_r, nyq_i = _check_nyq(nyq_r, nyq_i, B, Zr.dtype)
     return _fused_call(Zr, Zi, nyq_r, nyq_i, M=M, keep=tuple(keep),
                        interpret=interpret)
+
+
+# -- cwt-mode fused kernel: filterbank multiply + iFFT in one pass ------------
+def _make_cwt_kernel(M1, M2, R, off, L, derivative):
+    K1 = M1 // 2
+
+    def pipeline(zr, zi, w1h, w1l, Tr, Ti, w2h, w2l):
+        X = jnp.concatenate([zr, zi], axis=0)              # (2K1, M2)
+        B1 = _dot3(w1h, w1l, X)                            # (2M1, M2)
+        Br, Bi = B1[:M1], B1[M1:]
+        C2 = jnp.concatenate([Br * Tr - Bi * Ti, Br * Ti + Bi * Tr],
+                             axis=-1)                      # (M1, 2M2)
+        OUT = _dot3_r(C2, w2h, w2l)                        # (M1, 2R)
+        return OUT.T.reshape(2, R * M1)[:, off:off + L]
+
+    def kernel(pw_ref, xr_ref, xi_ref, xig_ref, invdt_ref, nwr_ref,
+               nwi_ref, ndr_ref, ndi_ref, w1h_ref, w1l_ref, tr_ref,
+               ti_ref, w2h_ref, w2l_ref, alt_ref, owr_ref, owi_ref,
+               odr_ref, odi_ref):
+        p = pw_ref[0]                                      # (K1, M2)
+        zr = p * xr_ref[:]
+        zi = p * xi_ref[:]
+        args = (w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
+                w2h_ref[:], w2l_ref[:])
+        alt = alt_ref[0]
+        OW = pipeline(zr, zi, *args)
+        owr_ref[0, 0] = OW[0] + nwr_ref[0, 0, 0] * alt
+        owi_ref[0, 0] = OW[1] + nwi_ref[0, 0, 0] * alt
+        if derivative:
+            s = xig_ref[:] * invdt_ref[0, 0, 0]
+            OD = pipeline(-zi * s, zr * s, *args)
+            odr_ref[0, 0] = OD[0] + ndr_ref[0, 0, 0] * alt
+            odi_ref[0, 0] = OD[1] + ndi_ref[0, 0, 0] * alt
+        else:
+            odr_ref[0, 0] = jnp.zeros((L,), jnp.float32)
+            odi_ref[0, 0] = jnp.zeros((L,), jnp.float32)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("M", "keep", "derivative",
+                                             "interpret"))
+def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
+                    derivative, interpret):
+    na, K1, M2 = Pw.shape
+    M1 = 2 * K1
+    start, length = keep
+    r0 = start // M1
+    r1 = -(-(start + length) // M1)
+    R = r1 - r0
+    off = start - r0 * M1
+    (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(M, r0, r1)
+    alt_keep = alt[start:start + length][None, :]
+
+    kernel = _make_cwt_kernel(M1, M2, R, off, length, derivative)
+    row3 = lambda i: (i, 0, 0)
+    const2 = lambda i: (0, 0)
+    constg = lambda i: (0, 0)
+    lane = lambda v: jnp.broadcast_to(v[:, None, None], (na, 1, 128))
+    scal = jnp.broadcast_to(inv_dt.reshape(1, 1, 1), (1, 1, 128))
+    out3 = lambda: pl.BlockSpec((1, 1, length), row3,
+                                memory_space=pltpu.VMEM)
+    owr, owi, odr, odi = pl.pallas_call(
+        kernel,
+        grid=(na,),
+        in_specs=[
+            pl.BlockSpec((1, K1, M2), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K1, M2), constg, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K1, M2), constg, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K1, M2), constg, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(Tr.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(Ti.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(W2h.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(W2h.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, length), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out3(), out3(), out3(), out3()),
+        out_shape=tuple(jax.ShapeDtypeStruct((na, 1, length), jnp.float32)
+                        for _ in range(4)),
+        interpret=interpret,
+        **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))),
+    )(Pw, xr_g, xi_g, xig, scal, lane(nyq_w[0]), lane(nyq_w[1]),
+      lane(nyq_d[0]), lane(nyq_d[1]), jnp.asarray(W1h), jnp.asarray(W1l),
+      jnp.asarray(Tr), jnp.asarray(Ti), jnp.asarray(W2h), jnp.asarray(W2l),
+      jnp.asarray(alt_keep))
+    return owr[:, 0], owi[:, 0], odr[:, 0], odi[:, 0]
+
+
+def cwt_halfband_fused(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d,
+                       keep=None, derivative=True, interpret=None):
+    """Fully fused single-signal CWT core: filterbank multiply
+    (Z = psih * xhat), the four-step half-band iFFT, unpad and Nyquist
+    correction — one Pallas kernel, no Z materialization in HBM.
+
+    Pw: (na, K1, M2) psih filterbank (transposed-grid layout,
+    k = M2*k1 + k2); xr_g/xi_g: (K1, M2) signal spectrum planes;
+    xig: (K1, M2) radian frequency grid; inv_dt: scalar 1/dt;
+    nyq_w/nyq_d: ((na,), (na,)) Nyquist real/imag planes for Wx and dWx.
+    Returns (Wxr, Wxi, dWxr, dWxi) each (na, L); the d planes are zeros
+    when derivative=False.
+    """
+    if interpret is None:
+        interpret = interpret_mode()
+    na, K1, M2 = Pw.shape
+    M = 2 * K1 * M2
+    if keep is None:
+        keep = (0, M)
+    return _cwt_fused_call(Pw, xr_g, xi_g, xig, jnp.asarray(inv_dt),
+                           nyq_w, nyq_d, M=M, keep=tuple(keep),
+                           derivative=derivative, interpret=interpret)
