@@ -57,10 +57,11 @@ def _xi_grid_np(M: int):
 
 
 @partial(jax.jit, static_argnames=("wavelet", "derivative", "l1_norm", "N",
-                                   "n1", "rpadded", "planar_out"))
+                                   "n1", "rpadded", "planar_out",
+                                   "engines"))
 def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
              l1_norm: bool, N: int, n1: int, rpadded: bool,
-             planar_out: bool = False):
+             planar_out: bool = False, engines=None):
     """CWT of an already-padded signal. xp: (..., M); returns (..., na, N).
 
     `planar_out=True` (fused ssq_cwt path; requires the MXU half-band
@@ -72,7 +73,13 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
     M = xp.shape[-1]
     from .fft_mxu import (ifft_mxu_halfband, ifft_mxu_halfband_planar,
                           use_mxu_fft, best_split)
-    mxu = (xp.dtype == jnp.float32 and use_mxu_fft() and
+    from ..config import use_pallas_kernels
+    if engines is None:
+        # NOTE: env flags read here are baked into the trace; pass
+        # `engines=(use_mxu_fft(), use_pallas_kernels())` from the caller
+        # so in-process flag flips don't hit a stale jit cache
+        engines = (use_mxu_fft(), use_pallas_kernels())
+    mxu = (xp.dtype == jnp.float32 and engines[0] and
            best_split(M) is not None)
     planar = mxu and _psih_is_real(wavelet)
     if planar_out and not planar:
@@ -99,10 +106,9 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
                 pnyq[None, :]).reshape(b * na)
         zeros = jnp.zeros_like(znyq)
         keep = (0, M) if rpadded else (n1, N)
-        from ..config import use_pallas_kernels
         from .fft_pallas import (ifft_halfband_planar_fused,
                                  cwt_halfband_fused, fused_ok)
-        fused = use_pallas_kernels() and fused_ok(M)
+        fused = engines[1] and fused_ok(M)
 
         if fused and b == 1:
             # single-signal fully fused kernel: the Z = psih * xhat
@@ -236,10 +242,13 @@ def cwt(x, wavelet="gmw", scales="log-piecewise", fs=None, t=None, nv=32,
     else:
         xp, n1 = x, 0
 
+    from .fft_mxu import use_mxu_fft
+    from ..config import use_pallas_kernels
     out = cwt_core(xp, jnp.asarray(scales_arr.squeeze(-1), dtype=dtype),
                    jnp.asarray(dt, dtype=dtype), wavelet=wavelet,
                    derivative=derivative, l1_norm=l1_norm, N=N, n1=n1,
-                   rpadded=rpadded)
+                   rpadded=rpadded,
+                   engines=(use_mxu_fft(), use_pallas_kernels()))
     scales_out = scales_arr.squeeze()
     if derivative:
         return out[0], scales_out, out[1]

@@ -101,10 +101,13 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
             else:
                 xp_, n1_ = xx, 0
             sc = jnp.asarray(np.asarray(scales).squeeze(-1), xx.dtype)
+            from .fft_mxu import use_mxu_fft
+            from ..config import use_pallas_kernels
             planes_w, planes_d = cwt_core(
                 xp_, sc, jnp.asarray(dt, xx.dtype), wavelet=wavelet,
                 derivative=True, l1_norm=True, N=N, n1=n1_, rpadded=False,
-                planar_out=True)
+                planar_out=True,
+                engines=(use_mxu_fft(), use_pallas_kernels()))
             Wx = jax.lax.complex(*planes_w)
             dWx = (jax.lax.complex(*planes_d) if get_dWx else planes_d)
         else:
