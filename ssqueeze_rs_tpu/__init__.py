@@ -29,6 +29,7 @@ from .ridge import extract_ridges  # noqa: E402
 from .signals import TestSignals  # noqa: E402
 from .experimental import scale_to_freq, freq_to_scale  # noqa: E402
 from . import toolkit  # noqa: E402
+from . import visuals  # noqa: E402  (matplotlib imported lazily inside)
 from . import compat  # noqa: E402  (drop-in `_rs` API)
 
 __all__ = [
