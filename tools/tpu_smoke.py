@@ -1,0 +1,123 @@
+"""Real-TPU smoke suite: drives the main flows on the attached chip and
+checks behavioral invariants with scalar fetches only (pytest forces the
+CPU backend; this catches Mosaic/TPU-only issues).
+
+Run from the repo root:  python tools/tpu_smoke.py
+Exit code 0 = all checks passed. See .claude/skills/verify/SKILL.md for
+the relay quirks this script is written around (scalar fetches, jit
+everywhere, env A/B needs separate processes).
+"""
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import ssqueeze_rs_tpu as ssq
+
+    print(f"backend: {jax.default_backend()} {jax.devices()[0]}")
+    failures = []
+
+    def check(name, ok, detail=""):
+        print(f"  {'PASS' if ok else 'FAIL'}  {name}  {detail}")
+        if not ok:
+            failures.append(name)
+
+    fs, N = 1000.0, 16384
+    t = np.arange(N) / fs
+    x = jnp.asarray(np.sin(2 * np.pi * 100.0 * t) +
+                    0.5 * np.sin(2 * np.pi * 333.0 * t), jnp.float32)
+
+    # 1. ssq_cwt energy lands at the right frequencies
+    @jax.jit
+    def ssq_peaks(x):
+        Tx, Wx, fr, sc = ssq.ssq_cwt(x, "gmw", fs=fs, dtype="float32")
+        mag = jnp.abs(Tx)[:, 200:-200]
+        order = jnp.argsort(mag.sum(axis=1))[-6:]
+        return jnp.asarray(fr)[order], jnp.sum(jnp.abs(Tx))
+
+    fr6, tot = ssq_peaks(x)
+    fr6 = np.sort(np.asarray(fr6))
+    near = lambda f: bool(np.any(np.abs(fr6 - f) < 12))
+    check("ssq_cwt peaks at 100/333 Hz", near(100) and near(333),
+          f"top bins {np.round(fr6, 1)}")
+    check("ssq_cwt finite energy", np.isfinite(float(tot)), f"{float(tot):.1f}")
+
+    # 2. istft round trip (even & odd n_fft, matmul + FFT branches)
+    @partial(jax.jit, static_argnames=("n_fft", "hop"))
+    def rt(x, n_fft, hop):
+        Sx = ssq.stft(x, window="hann", n_fft=n_fft, hop_len=hop,
+                      dtype="float32")
+        xr = ssq.istft(Sx, window="hann", n_fft=n_fft, hop_len=hop, N=N)
+        return jnp.mean(jnp.abs(x - xr)) / jnp.sqrt(jnp.mean(x ** 2))
+
+    for n_fft, hop in [(256, 64), (598, 1), (121, 3)]:
+        e = float(rt(x, n_fft=n_fft, hop=hop))
+        check(f"istft round trip n_fft={n_fft} hop={hop}", e < 1e-5,
+              f"mad_rms={e:.2e}")
+
+    # 3. icwt round trip through the fused kernel path
+    @jax.jit
+    def icwt_rt(x):
+        Wx, sc = ssq.cwt(x, "gmw", scales="log", dtype="float32")
+        xr = ssq.icwt(Wx, "gmw", scales="log", x_len=N)
+        return jnp.mean(jnp.abs(x - xr)) / jnp.sqrt(jnp.mean(x ** 2))
+
+    e = float(icwt_rt(x))
+    check("icwt round trip (fused path)", e < 5e-3, f"mad_rms={e:.2e}")
+
+    # 4. batched == single channel (Z-build route vs cwt-fused route)
+    @jax.jit
+    def batch_diff(x):
+        xb = jnp.stack([x, 0.5 * x])
+        Txb = ssq.ssq_cwt(xb, "gmw", fs=fs, dtype="float32")[0]
+        Tx1 = ssq.ssq_cwt(x, "gmw", fs=fs, dtype="float32")[0]
+        return (jnp.max(jnp.abs(Txb[0] - Tx1)) /
+                jnp.max(jnp.abs(Tx1)))
+
+    d = float(batch_diff(x))
+    check("batched matches single channel", d < 5e-3, f"rel={d:.1e}")
+
+    # 5. ssq_stft tracks a chirp
+    from ssqueeze_rs_tpu.signals import TestSignals
+    xc, _ = TestSignals(N).lchirp(N, fmin=0, fmax=400, tmax=N / fs)
+    xc = jnp.asarray(xc, jnp.float32)
+
+    @jax.jit
+    def chirp_err(xc):
+        Tx, Sx, fr, Sfs = ssq.ssq_stft(xc, n_fft=256, fs=fs,
+                                       dtype="float32")
+        mag = jnp.abs(Tx)
+        cols = jnp.arange(200, N - 200, 50)
+        f_peak = jnp.asarray(fr)[mag[:, cols].argmax(axis=0)]
+        f_true = 400.0 * cols / N
+        return jnp.median(jnp.abs(f_peak - f_true))
+
+    e = float(chirp_err(xc))
+    check("ssq_stft chirp tracking", e < 10.0, f"median |df|={e:.2f} Hz")
+
+    # 6. timing sanity (not a hard gate; relay adds ~4-5 ms per dispatch)
+    @jax.jit
+    def ssq_fn(x, i):
+        return jnp.sum(jnp.abs(ssq.ssq_cwt(x + i * 1e-12, "gmw", fs=fs,
+                                           dtype="float32")[0]))
+    float(ssq_fn(x, 0))
+    t0 = time.perf_counter()
+    outs = [ssq_fn(x, i + 1) for i in range(4)]
+    float(outs[-1])
+    dt_ms = (time.perf_counter() - t0) / 4 * 1e3
+    print(f"  INFO  ssq_cwt 16k: {dt_ms:.1f} ms/call")
+
+    print(("ALL PASS" if not failures else f"FAILURES: {failures}"))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
