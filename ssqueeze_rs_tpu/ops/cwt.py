@@ -143,7 +143,8 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
         L = keep[1]
         shp = batch + (na, L)
         if not l1_norm:
-            root = jnp.sqrt(scales).astype(rdt)[:, None]
+            # planes are (b*na, L), rows b-major: tile the per-scale root
+            root = jnp.tile(jnp.sqrt(scales).astype(rdt), b)[:, None]
             pw, pd = planes
             pw = (pw[0] * root, pw[1] * root)
             pd = (pd[0] * root, pd[1] * root) if pd is not None else None

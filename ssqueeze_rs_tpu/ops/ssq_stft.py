@@ -39,8 +39,8 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
     """
     _, fs, _ = process_fs_and_t(fs, t, jnp.shape(x)[-1])
     check_ssqueezing_args(squeezing)
-    if (isinstance(ssq_freqs, np.ndarray) and
-            infer_scaletype(ssq_freqs)[0] != "linear"):
+    if (isinstance(ssq_freqs, (np.ndarray, jnp.ndarray)) and
+            infer_scaletype(np.asarray(ssq_freqs))[0] != "linear"):
         raise ValueError("`ssq_freqs` must be linearly distributed for "
                          "`ssq_stft`")
 

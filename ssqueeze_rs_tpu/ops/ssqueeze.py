@@ -42,7 +42,7 @@ from ..utils.pad import p2up
 from ..wavelets.base import Wavelet
 from ..wavelets.props import center_frequency
 
-__all__ = ["ssqueeze", "reassign", "compute_associated_frequencies",
+__all__ = ["plan_reassignment", "ssqueeze", "reassign", "compute_associated_frequencies",
            "ssq_freqrange"]
 
 _TWO_PI = 6.283185307179586
@@ -76,6 +76,27 @@ def bin_params(ssq_freqs, logscale: bool):
                                      dvl1=dvl1, idx1=idx - 1)
     dv = _ensure_nonzero("dv", float(v[1] - v[0]))
     return "lin", dict(vmin=float(v[0]), dv=dv)
+
+
+def plan_reassignment(ssq_freqs, na, ssq_logscale, *, transform="cwt",
+                      cwt_scaletype=None, nv=None, scales=None):
+    """Shared reassignment planning (reference: ssqueezing.py:124-134 +
+    algos.py:356-374): the normalization constant per scale row and the
+    analytic bin-mapping plan. Single source of truth for ssqueeze(),
+    the chunked_* transforms and the native oracle.
+
+    Returns (const_arr (na,) float64, mode, params_host)."""
+    if transform == "cwt":
+        if cwt_scaletype[:3] == "log":
+            const = np.log(2) / nv
+        else:
+            const = ((scales[1] - scales[0]) / scales).squeeze()
+    else:
+        const = float(np.asarray(ssq_freqs)[1] - np.asarray(ssq_freqs)[0])
+    const_arr = np.broadcast_to(
+        np.asarray(const, dtype=np.float64).squeeze(), (na,)).copy()
+    mode, params_host = bin_params(ssq_freqs, ssq_logscale)
+    return const_arr, mode, params_host
 
 
 # -- the reassignment kernel (traced) -------------------------------------------
@@ -333,20 +354,10 @@ def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
     elif squeezing == "abs":
         Wx = jnp.abs(Wx).astype(Wx.dtype)
 
-    # normalization constant (reference: ssqueezing.py:124-134)
-    if transform == "cwt":
-        if cwt_scaletype[:3] == "log":
-            const = np.log(2) / nv  # scalar, or (na,1) array for piecewise
-        else:
-            const = ((scales[1] - scales[0]) / scales).squeeze()
-    else:
-        const = float(ssq_freqs[1] - ssq_freqs[0])
-
     na = Wx.shape[-2]
-    const_arr = np.broadcast_to(np.asarray(const, dtype=np.float64).squeeze(),
-                                (na,)).copy()
-
-    mode, params_host = bin_params(ssq_freqs, ssq_scaletype.startswith("log"))
+    const_arr, mode, params_host = plan_reassignment(
+        ssq_freqs, na, ssq_scaletype.startswith("log"), transform=transform,
+        cwt_scaletype=cwt_scaletype, nv=nv, scales=scales)
 
     rdtype = jnp.float64 if Wx.dtype == jnp.complex128 else jnp.float32
     Sfs_arr = (jnp.asarray(Sfs, dtype=rdtype) if Sfs is not None else

@@ -52,7 +52,9 @@ from ..wavelets.base import Wavelet
 from ..wavelets.props import time_resolution
 from ..ops.stft import stft_core
 from ..ops.cwt import cwt_core
-from ..ops.ssqueeze import (ssqueeze, bin_params, compute_associated_frequencies)
+from ..ops.ssqueeze import (ssqueeze, bin_params,
+                            compute_associated_frequencies,
+                            plan_reassignment)
 
 __all__ = ["chunked_stft", "chunked_cwt", "chunked_ssq_cwt",
            "chunked_ssq_stft", "default_cwt_halo", "halo_extend"]
@@ -126,6 +128,14 @@ def chunked_stft(x, mesh: Mesh, window=None, n_fft=None, win_len=None,
     # global padlength = N + n_fft - 1 -> n1 = ceil((n_fft-1)/2)
     _, n1, n2 = pad_params(N, N + n_fft - 1)
     Hl, Hr = n1, n2
+    if max(Hl, Hr) > S - 1:
+        # the halo (reflect pad + frame overlap) would need samples from
+        # beyond the NEIGHBOR shard; capping would break the bit-exactness
+        # contract, so refuse loudly
+        raise ValueError(
+            f"n_fft={n_fft} needs a {max(Hl, Hr)}-sample halo but each of "
+            f"the {n_shards} time shards holds only {S} samples; lower "
+            f"n_fft, use fewer time shards, or process a longer signal")
 
     def shard_fn(xs):
         xe = halo_extend(xs, axis_name, n_shards, Hl, Hr)
@@ -242,14 +252,10 @@ def chunked_ssq_cwt(x, mesh: Mesh, wavelet="gmw", scales="log-piecewise",
     # global ssq planning (reference: ssqueezing.py:124-188)
     ssq_freqs = compute_associated_frequencies(
         scales_arr, N, wavelet, scaletype, maprange, True, dt, "cwt")
-    if scaletype[:3] == "log":
-        const = np.log(2) / nv
-    else:
-        const = ((scales_arr[1] - scales_arr[0]) / scales_arr).squeeze()
     na = len(scales_arr)
-    const_arr = np.broadcast_to(
-        np.asarray(const, dtype=np.float64).squeeze(), (na,)).copy()
-    mode, params = bin_params(ssq_freqs, scaletype.startswith("log"))
+    const_arr, mode, params = plan_reassignment(
+        ssq_freqs, na, scaletype.startswith("log"), transform="cwt",
+        cwt_scaletype=scaletype, nv=nv, scales=scales_arr)
     params = {k: (jnp.asarray(v) if k != "idx1" else
                   jnp.asarray(v, jnp.int32)) for k, v in params.items()}
     rdtype = jnp.float64 if dtype in ("float64", jnp.float64) else jnp.float32
@@ -301,9 +307,10 @@ def chunked_ssq_stft(x, mesh: Mesh, window=None, n_fft=None, win_len=None,
 
     Sfs = np.linspace(0, 0.5 * fs, nf,
                       dtype="float64" if dtype == "float64" else "float32")
-    mode, params = bin_params(Sfs, False)
+    const_arr_stft, mode, params = plan_reassignment(Sfs, nf, False,
+                                                     transform="stft")
     params = {k: jnp.asarray(v) for k, v in params.items()}
-    const = float(Sfs[1] - Sfs[0])
+    const = float(const_arr_stft[0])
     rdtype = jnp.float64 if dtype in ("float64", jnp.float64) else jnp.float32
     if gamma is None:
         gamma = 10 * (EPS64 if rdtype == jnp.float64 else EPS32)

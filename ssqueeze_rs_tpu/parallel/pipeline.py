@@ -170,11 +170,23 @@ def process_recording(source, transform="ssq_cwt", fs=1.0, n_channels=None,
             Wx = Wx[..., Hl:Hl + cl]
             return Wx.real, Wx.imag, None, jnp.asarray(np.asarray(sc))
     else:  # ssq_cwt
+        # plan the ssq frequency grid ONCE from the full-chunk extent:
+        # otherwise a shorter final chunk would be binned on a different
+        # grid than the rest and silently concatenated with them
+        from ..ops.ssqueeze import compute_associated_frequencies
+        from ..scales import process_fs_and_t
+        dt_g = process_fs_and_t(fs, None, ext_max)[0]
+        _, scaletype_g, *_ = process_scales(scales_arr, ext_max, wav,
+                                            get_params=True)
+        ssq_freqs_g = compute_associated_frequencies(
+            scales_arr, ext_max, wav, scaletype_g,
+            kw.get("maprange", "peak"), True, dt_g, "cwt")
+
         @partial(jax.jit, static_argnames=("cl",))
         def jfn(ch, cl):
             Tx, Wx, ssq_freqs, sc = ssq_cwt(ch, wavelet, scales=scales_arr,
                                             fs=fs, nv=None, dtype=dtype,
-                                            **kw)
+                                            ssq_freqs=ssq_freqs_g, **kw)
             Tx = Tx[..., Hl:Hl + cl]
             return (Tx.real, Tx.imag,
                     jnp.asarray(np.asarray(ssq_freqs)),

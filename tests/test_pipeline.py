@@ -96,3 +96,20 @@ def test_wavelet_info(capsys):
     Wavelet.build(("gmw", {"beta": 8.0})).info()
     out = capsys.readouterr().out
     assert "Heisenberg area" in out
+
+
+def test_process_recording_short_final_chunk_single_grid():
+    """A shorter final chunk must be binned on the SAME ssq frequency grid
+    as full chunks (the grid is planned once from the full-chunk extent)."""
+    import numpy as np
+    from ssqueeze_rs_tpu.parallel.pipeline import process_recording
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 2500)).astype(np.float32)  # 1000+1000+500
+    r, m = process_recording(x, transform="ssq_cwt", chunk_len=1000,
+                             halo=200, fs=100.0)
+    assert r.shape[-1] == 2500
+    assert np.isfinite(r).all()
+    # grid monotone & fixed
+    fr = m["ssq_freqs"]
+    assert (np.diff(fr) < 0).all() or (np.diff(fr) > 0).all()
