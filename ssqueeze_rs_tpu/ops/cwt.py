@@ -108,9 +108,11 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
         keep = (0, M) if rpadded else (n1, N)
         from .fft_pallas import (ifft_halfband_planar_fused,
                                  cwt_halfband_fused, fused_ok)
-        fused = engines[1] and fused_ok(M)
+        fused = engines[1] and fused_ok(M, 1)
+        fused_cwtmode = (engines[1] and
+                         fused_ok(M, 2 if derivative else 1))
 
-        if fused and b == 1:
+        if fused_cwtmode and b == 1:
             # single-signal fully fused kernel: the Z = psih * xhat
             # filterbank multiply ALSO happens in VMEM, so the (B, K1,
             # M2) Z planes never round-trip HBM (~1.2 GB saved)

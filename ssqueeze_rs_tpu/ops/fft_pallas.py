@@ -32,11 +32,31 @@ __all__ = ["ifft_halfband_planar_fused", "cwt_halfband_fused",
            "fused_ok"]
 
 
-def fused_ok(M: int) -> bool:
-    """Kernel supports power-of-2 M with a near-square split and shapes
-    big enough to tile the MXU (M >= 2^14)."""
+def _vmem_estimate(M: int, pipelines: int) -> int:
+    """Rough per-grid-step VMEM footprint (bytes) of the fused kernel:
+    stage operands/outputs (x pipelines) + shared constants + I/O blocks.
+    The bench chip has 128 MB VMEM (measured: a 2^21 cwt-mode kernel
+    was rejected at 150.5 MB)."""
+    M1, M2 = best_split(M)
+    per_pipe = (M1 * M2 * 4 * 2          # X f32 + bf16 splits (~half)
+                + 2 * M1 * M2 * 4        # B1
+                + M1 * 2 * M2 * 4 * 2    # C2 f32 + splits
+                + M * 4)                 # OUT ~ (M1, 2R) ~ M f32
+    consts = (2 * M1 * M1 * 2 * 2        # W1s hi/lo bf16
+              + 2 * M1 * M2 * 4          # Tr, Ti f32
+              + 2 * M * 2 * 2            # W2sT hi/lo ~ (2M2, 2R) bf16
+              + M * 4 // 256)            # alt slice
+    return pipelines * per_pipe + consts
+
+
+def fused_ok(M: int, pipelines: int = 1) -> bool:
+    """Kernel supports power-of-2 M with a near-square split, shapes big
+    enough to tile the MXU (M >= 2^14), and a per-step working set that
+    fits VMEM (128 MB on the bench chip; larger M falls back to the XLA
+    planar engine)."""
     s = best_split(M)
-    return s is not None and M >= (1 << 14)
+    return (s is not None and M >= (1 << 14) and
+            _vmem_estimate(M, pipelines) < 100 * 1024 * 1024)
 
 
 @functools.lru_cache(maxsize=32)
