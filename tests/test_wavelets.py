@@ -116,3 +116,40 @@ def test_sample_jax_matches_numpy():
     a = np.asarray(wav.sample(scales, 128, xp=np))
     b = np.asarray(wav.sample(jnp.asarray(scales), 128, xp=jnp))
     assert np.allclose(a, b, atol=1e-12)
+
+
+def test_center_frequency_scaling_laws():
+    """Analytic dependence (reference: props_test.py:19-97): morlet
+    wc ~ mu at fixed scale, wc ~ 1/scale at fixed mu."""
+    from ssqueeze_rs_tpu.wavelets import center_frequency
+
+    N, scale0, mu0 = 2048, 32.0, 6.0
+    wc0 = center_frequency(
+        Wavelet.build(("morlet", dict(mu=mu0))), scale=scale0, N=N,
+        kind="energy")
+    for mu in (8.0, 12.0, 16.0, 20.0):
+        wc = center_frequency(Wavelet.build(("morlet", dict(mu=mu))),
+                              scale=scale0, N=N, kind="energy")
+        assert abs(wc / wc0 - mu / mu0) < 0.02, (mu, wc / wc0)
+
+    wav = Wavelet.build(("morlet", dict(mu=mu0)))
+    for scale in (8.0, 16.0, 64.0):
+        wc = center_frequency(wav, scale=scale, N=N, kind="energy")
+        assert abs(wc / wc0 - scale0 / scale) < 0.02, (scale, wc / wc0)
+
+
+def test_resolution_scaling_laws():
+    """std_t ~ scale, std_w ~ 1/scale, harea ~ const
+    (reference: props_test.py:99-260)."""
+    from ssqueeze_rs_tpu.wavelets import time_resolution, freq_resolution
+
+    wav = Wavelet.build("gmw")
+    N, s0 = 4096, 16.0
+    t0 = time_resolution(wav, scale=s0, N=N, nondim=False)
+    w0 = freq_resolution(wav, scale=s0, N=N, nondim=False)
+    for s in (24.0, 32.0, 48.0):
+        ts = time_resolution(wav, scale=s, N=N, nondim=False)
+        ws = freq_resolution(wav, scale=s, N=N, nondim=False)
+        assert abs(ts / t0 - s / s0) < 0.05, (s, ts / t0)
+        assert abs(ws / w0 - s0 / s) < 0.05, (s, ws / w0)
+        assert abs((ts * ws) / (t0 * w0) - 1) < 0.05
