@@ -104,3 +104,20 @@ def test_cwt_icwt_random_configs(trial):
                                  scales="log", l1_norm=l1))
     xn = np.asarray(sq.icwt(Wx, wavelet, scales="log", x_len=N, l1_norm=l1))
     assert _rel(xn, xo) < 1e-5, (trial, wavelet, l1, _rel(xn, xo))
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_ssq_stft_random_configs(trial):
+    rng = np.random.default_rng(400 + trial)
+    N = int(rng.integers(300, 900))
+    n_fft = int(rng.integers(32, 128))
+    window = rng.choice(["hann", "hamming"])
+    x = rng.standard_normal(N)
+
+    Tx, Sx, fr, Sfs = sq.ssq_stft(x, window=window, n_fft=n_fft,
+                                  dtype="float64")
+    Txr, Sxr, frr, Sfsr = ssq_ref.ssq_stft(x, window=window, n_fft=n_fft,
+                                           dtype="float64")
+    assert np.asarray(Tx).shape == np.asarray(Txr).shape
+    assert _rel(Sx, Sxr) < 1e-9, (trial, _rel(Sx, Sxr))
+    assert _rel(Tx, Txr) < 1e-7, (trial, N, n_fft, window, _rel(Tx, Txr))
