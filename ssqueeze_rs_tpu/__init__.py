@@ -30,6 +30,26 @@ from .signals import TestSignals  # noqa: E402
 from .experimental import scale_to_freq, freq_to_scale  # noqa: E402
 from . import toolkit  # noqa: E402
 from . import visuals  # noqa: E402  (matplotlib imported lazily inside)
+
+# reference-name conveniences (ssqueezepy re-exports these at top level)
+from .utils.pad import p2up, padsignal  # noqa: E402
+from .utils.windows import window_norm, window_resolution  # noqa: E402
+from .utils.common import (WARN, NOTE,  # noqa: E402
+                           replace_at_inf_or_nan, replace_at_inf,
+                           replace_at_nan, replace_at_value,
+                           replace_under_abs)
+from .ops.diff import trigdiff  # noqa: E402
+from .ops.cwt import cwt_higher_order  # noqa: E402
+from .wavelets.gmw import (morsewave, morseafun, laguerre,  # noqa: E402
+                           gmw_k_constants)
+from .wavelets.props import find_maximum, find_first_occurrence  # noqa: E402
+from .utils.fft import xifn, afftshift_idx, aifftshift_idx  # noqa: E402
+
+
+def wavs():
+    """Names of supported wavelets (reference: ssqueezepy.wavs)."""
+    from .wavelets.base import _FAMILIES
+    return list(_FAMILIES)
 from . import compat  # noqa: E402  (drop-in `_rs` API)
 
 __all__ = [
