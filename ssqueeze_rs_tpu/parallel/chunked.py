@@ -16,6 +16,12 @@ Exactness:
     dask scripts silently accept a fixed overlap — we size the halo from
     the wavelet's time support at the largest scale and let callers widen
     it (SURVEY §5 notes the reference's fixed-overlap approximation).
+    Two inherent error sources bound the accuracy at any feasible halo:
+    the largest scales' support, AND near-Nyquist scales whose psih is
+    truncated at omega=pi — the truncation gives sinc-like ~1/t time
+    tails, so the smallest scales of a high-Q wavelet (default gmw
+    beta=60) carry ~1% segment error regardless of halo. Measured on
+    N=4096/8 shards: max rel err 0.14 (halo=64) -> 0.055 (halo=448).
 
 Reassignment is column-local (each time column scatters independently,
 reference algos.py:183-192), so synchrosqueezing after halo-trim is exact
