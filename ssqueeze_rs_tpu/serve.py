@@ -1,0 +1,129 @@
+"""Shape-bucketed serving wrapper.
+
+XLA compiles one program per input shape; in a serving setting where
+request lengths vary, naive dispatch recompiles on nearly every request
+(20-40 s latency cliffs on TPU). `TransformServer` reflect-pads each
+request up to a fixed bucket length and trims the output, so there is
+exactly ONE compile per (bucket, channels, dtype) for the server's
+lifetime.
+
+Semantics: a request of length N returns the transform of the
+bucket-padded signal trimmed back to N columns — i.e. each bucket fixes
+the analysis configuration (scale grid / ssq frequency rows are the
+bucket's). This matches how the reference's dask scripts process fixed
+chunk sizes (tests/stft_test.py:374-377).
+
+    server = TransformServer("ssq_cwt", fs=1000.0)
+    out = server(x)          # dict: Tx, Wx, ssq_freqs, scales
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .utils.common import assert_is_one_of
+
+__all__ = ["TransformServer", "DEFAULT_BUCKETS"]
+
+DEFAULT_BUCKETS = (4096, 16384, 65536, 262144)
+
+
+class TransformServer:
+    """Bucketed jit dispatcher for the four transforms.
+
+    `transform`: 'stft' | 'cwt' | 'ssq_cwt' | 'ssq_stft';
+    `buckets`: ascending request-length capacities; `**kw` is passed to
+    the underlying transform (fs, wavelet, n_fft, ...).
+    """
+
+    def __init__(self, transform="ssq_cwt", buckets=DEFAULT_BUCKETS,
+                 dtype="float32", **kw):
+        assert_is_one_of(transform, "transform",
+                         ("stft", "cwt", "ssq_cwt", "ssq_stft"))
+        self.transform = transform
+        self.buckets = tuple(sorted(int(b) for b in buckets))
+        self.dtype = dtype
+        self.kw = dict(kw)
+        self._fns = {}          # (bucket, channels) -> jitted callable
+
+    def bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"request length {n} exceeds the largest bucket "
+                         f"({self.buckets[-1]}); add a bigger bucket or "
+                         "use parallel.process_recording")
+
+    def _build(self, bucket: int, channels: int):
+        import jax
+        import jax.numpy as jnp
+        from .ops.stft import stft as _stft
+        from .ops.cwt import cwt as _cwt
+        from .ops.ssq_cwt import ssq_cwt as _ssq_cwt
+        from .ops.ssq_stft import ssq_stft as _ssq_stft
+
+        transform, dtype, kw = self.transform, self.dtype, self.kw
+
+        @jax.jit
+        def fn(xp):
+            if transform == "stft":
+                S = _stft(xp, dtype=dtype, **kw)
+                return {"Sx": S}
+            if transform == "cwt":
+                Wx, sc = _cwt(xp, kw.get("wavelet", "gmw"),
+                              **{k: v for k, v in kw.items()
+                                 if k != "wavelet"}, dtype=dtype)
+                return {"Wx": Wx, "scales": jnp.asarray(np.asarray(sc))}
+            if transform == "ssq_cwt":
+                Tx, Wx, fr, sc = _ssq_cwt(
+                    xp, kw.get("wavelet", "gmw"),
+                    **{k: v for k, v in kw.items() if k != "wavelet"},
+                    dtype=dtype)
+                return {"Tx": Tx, "Wx": Wx,
+                        "ssq_freqs": jnp.asarray(np.asarray(fr)),
+                        "scales": jnp.asarray(np.asarray(sc))}
+            Tx, Sx, fr, Sfs = _ssq_stft(xp, dtype=dtype, **kw)
+            return {"Tx": Tx, "Sx": Sx,
+                    "ssq_freqs": jnp.asarray(np.asarray(fr)),
+                    "Sfs": jnp.asarray(np.asarray(Sfs))}
+
+        return fn
+
+    @property
+    def n_compiled(self) -> int:
+        return len(self._fns)
+
+    def __call__(self, x):
+        """x: (N,) or (channels, N) array. Returns a dict of numpy arrays
+        (complex fetched as planes — see CLAUDE.md relay note)."""
+        import jax.numpy as jnp
+
+        x = np.asarray(x)
+        squeeze = (x.ndim == 1)
+        x = np.atleast_2d(x)
+        C, N = x.shape
+        b = self.bucket_for(N)
+        key = (b, C)
+        if key not in self._fns:
+            self._fns[key] = self._build(b, C)
+        # reflect-pad the request up to the bucket capacity
+        pad = b - N
+        xp = np.pad(x, ((0, 0), (0, pad)), mode="reflect") if pad else x
+        out = self._fns[key](jnp.asarray(xp, dtype=self.dtype))
+
+        res = {}
+        for k, v in out.items():
+            if k in ("Tx", "Wx", "Sx"):
+                vr = np.asarray(v.real)
+                vi = np.asarray(v.imag)
+                a = (vr + 1j * vi)[..., : self._out_cols(k, N, b, v)]
+                res[k] = a[0] if squeeze else a
+            else:
+                res[k] = np.asarray(v)
+        return res
+
+    def _out_cols(self, name, N, bucket, v):
+        n_out = v.shape[-1]
+        if n_out == bucket:          # hop 1 / cwt: one column per sample
+            return N
+        # hop > 1: proportional trim
+        return int(np.ceil(N / bucket * n_out))
