@@ -92,6 +92,20 @@ class TransformServer:
     def n_compiled(self) -> int:
         return len(self._fns)
 
+    def warmup(self, channels=(1,)):
+        """Precompile every (bucket, channels) program at startup so no
+        request ever pays compile latency."""
+        import jax.numpy as jnp
+        for c in channels:
+            for b in self.buckets:
+                key = (b, int(c))
+                if key not in self._fns:
+                    self._fns[key] = self._build(b, int(c))
+                x = jnp.zeros((int(c), b), dtype=self.dtype)
+                for v in self._fns[key](x).values():
+                    v.block_until_ready()
+        return self
+
     def __call__(self, x):
         """x: (N,) or (channels, N) array. Returns a dict of numpy arrays
         (complex fetched as planes — see CLAUDE.md relay note)."""

@@ -40,3 +40,12 @@ def test_server_stft_and_channels():
     assert out["Sx"].shape[-1] <= 333 // 4 + 2
     srv(np.random.default_rng(2).standard_normal((3, 500)))
     assert srv.n_compiled == 1
+
+
+def test_server_warmup():
+    srv = TransformServer("cwt", buckets=(256, 512), dtype="float64")
+    srv.warmup(channels=(1, 2))
+    assert srv.n_compiled == 4
+    out = srv(np.random.default_rng(3).standard_normal(200))
+    assert srv.n_compiled == 4          # no new compiles
+    assert out["Wx"].shape[-1] == 200
