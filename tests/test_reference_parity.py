@@ -218,3 +218,23 @@ def test_istft_odd_nfft_parity(x64):
                                    window="hann", N=len(x64)))
         assert np.allclose(ours, ref, atol=1e-10), (
             n_fft, np.max(np.abs(ours - ref)))
+
+
+def test_ssq_cwt_difftype_variants_parity(x64):
+    """End-to-end difftype='phase' and 'numeric' vs the oracle
+    (reference: _ssq_cwt.py:205-220, 292-295)."""
+    for difftype in ("phase", "numeric"):
+        ours = sq.ssq_cwt(x64, ("gmw", {"dtype": "float64"}), scales="log",
+                          nv=16, difftype=difftype, get_w=True,
+                          dtype="float64")
+        ref = ssq_ref.ssq_cwt(x64, ("gmw", {"dtype": "float64"}),
+                              scales="log", nv=16, difftype=difftype,
+                              get_w=True)
+        Tx_o, Tx_r = np.asarray(ours[0]), np.asarray(ref[0])
+        assert Tx_o.shape == Tx_r.shape, (difftype, Tx_o.shape, Tx_r.shape)
+        err = np.abs(Tx_o - Tx_r).max() / np.abs(Tx_r).max()
+        assert err < 1e-6, (difftype, err)
+        w_o, w_r = np.asarray(ours[4]), np.asarray(ref[4])
+        finite = np.isfinite(w_r)
+        werr = np.abs(w_o[finite] - w_r[finite]).max()
+        assert werr < 1e-8, (difftype, werr)
