@@ -1,6 +1,10 @@
 """Mixed-radix Cooley-Tukey iFFT on the MXU for large power-of-2 sizes.
 
-XLA's TPU FFT runs the classic ladder on the VPU at ~1.2 TFLOP/s effective;
+Replaces the reference's FFT backend layer (old/ssqueezepy/utils/
+fft_utils.py:40-133 scipy/pyfftw/torch dispatch; rust thread-local
+rustfft planners, rust/src/spectral/cwt.rs:228-310) with MXU matmul
+decompositions. XLA's TPU FFT runs the classic ladder on the VPU at
+~1.2 TFLOP/s effective;
 for the CWT's batched iFFT (hundreds of rows x 2^18) a matmul decomposition
 moves the work to the MXU at bf16_3x precision (~2^-22 relative error,
 slightly better than a float32 FFT ladder).

@@ -1,5 +1,9 @@
 """Fused Pallas four-step half-band iFFT (planar).
 
+The compute heart of the CWT path — what the reference does with
+per-scale Rayon jobs + rustfft (rust/src/spectral/cwt.rs:228-310) and
+batched scipy/pyfftw iFFTs (old/ssqueezepy/_cwt.py:165-175).
+
 The XLA planar four-step (ops/fft_mxu.py::ifft_mxu_halfband_planar) is
 MEMORY-bound: its two stage matmuls take <1 ms of MXU time but every
 stage materializes a ~1.2 GB intermediate in HBM (~7.5 GB of passes for
