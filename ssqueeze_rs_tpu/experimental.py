@@ -13,7 +13,8 @@ from .utils.pad import p2up
 from .wavelets.base import Wavelet
 from .wavelets.props import center_frequency
 
-__all__ = ["freq_to_scale", "scale_to_freq"]
+__all__ = ["freq_to_scale", "scale_to_freq", "phase_transform",
+           "phase_ssqueeze"]
 
 
 def freq_to_scale(freqs, wavelet, N, fs=1, n_search_scales=None, kind="peak",
@@ -75,3 +76,78 @@ def scale_to_freq(scales, wavelet, N, fs=1, padtype="reflect"):
     assert freqs.min() >= 0, freqs.min()
     assert freqs.max() <= 0.5, freqs.max()
     return freqs * fs
+
+
+def phase_transform(Wx, dWx=None, difftype="trig", difforder=4, gamma=None,
+                    fs=1.0, Sfs=None, rpadded=False, padtype="reflect",
+                    N=None, n1=None, get_w=False, transform="cwt"):
+    """Unified CWT & STFT SSQ phase transform on an arbitrary TF array
+    (reference parity: experimental.py:196-259). Returns
+    (w, Wx, dWx, Sfs, gamma)."""
+    import jax.numpy as jnp
+
+    from .config import EPS32, EPS64
+    from .ops.diff import trigdiff
+    from .ops.phase import phase_cwt, phase_cwt_num, phase_stft
+    from .ops.ssq_stft import make_Sfs
+
+    Wx = jnp.asarray(Wx)
+    if transform == "stft" and dWx is None:
+        raise NotImplementedError("`phase_transform` without `dWx` for "
+                                  "STFT is not currently supported.")
+    if rpadded and N is None:
+        raise ValueError("`rpadded=True` requires `N`")
+    if gamma is None:
+        gamma = 10 * (EPS64 if Wx.dtype == jnp.complex128 else EPS32)
+
+    if transform == "cwt":
+        if N is None and not rpadded:
+            N = Wx.shape[-1]
+        if n1 is None:
+            n1 = p2up(N)[1]
+        if dWx is None:
+            dWx = trigdiff(Wx, fs, padtype, rpadded, N=N, n1=n1,
+                           transform="cwt")
+        if get_w:
+            if difftype == "trig":
+                w = phase_cwt(Wx, dWx, "trig", gamma)
+            elif difftype == "phase":
+                w = phase_cwt(Wx, None, "phase", gamma)
+            else:
+                Wx = Wx[..., (n1 - 4):(n1 + N + 4)]
+                w = phase_cwt_num(Wx, 1 / fs, difforder, gamma)
+        else:
+            w = None
+        Sfs = None
+    else:
+        if Sfs is None:
+            Sfs = make_Sfs(Wx, fs)
+        w = phase_stft(Wx, dWx, Sfs, gamma) if get_w else None
+    return w, Wx, dWx, Sfs, gamma
+
+
+def phase_ssqueeze(Wx, dWx=None, ssq_freqs=None, scales=None, Sfs=None,
+                   fs=1.0, t=None, squeezing="sum", maprange=None,
+                   wavelet=None, gamma=None, was_padded=True, flipud=False,
+                   rpadded=False, padtype=None, N=None, n1=None,
+                   difftype=None, difforder=None, get_w=False,
+                   get_dWx=False, transform="cwt"):
+    """`phase_transform` then `ssqueeze` on an arbitrary CWT/STFT-like
+    array (reference parity: experimental.py:145-194). Experimental;
+    prefer `ssq_cwt` / `ssq_stft`. Returns
+    (Tx, Wx, ssq_freqs, scales, Sfs, w, dWx)."""
+    from .ops.ssqueeze import ssqueeze
+
+    w, Wx, dWx, Sfs, gamma = phase_transform(
+        Wx, dWx, difftype or "trig", difforder=difforder or 4, gamma=gamma,
+        rpadded=rpadded, padtype=padtype, N=N, n1=n1, get_w=get_w, fs=fs,
+        Sfs=Sfs, transform=transform)
+    _dWx = None if (w is not None and not get_dWx) else dWx
+    if maprange is None:
+        maprange = "peak" if transform == "cwt" else "maximal"
+    Tx, ssq_freqs = ssqueeze(Wx, w, ssq_freqs, scales, Sfs=Sfs, fs=fs, t=t,
+                             squeezing=squeezing, maprange=maprange,
+                             wavelet=wavelet, gamma=gamma,
+                             was_padded=was_padded, flipud=flipud, dWx=_dWx,
+                             transform=transform)
+    return Tx, Wx, ssq_freqs, scales, Sfs, w, dWx

@@ -146,3 +146,39 @@ def test_wavelet_viz_and_signal_demo():
     ts.test_transforms(fn, signals=["sine", "cosine"])
     plt.close("all")
     assert seen == ["sine", "cosine"]
+
+
+def test_phase_ssqueeze_matches_ssq_cwt():
+    """Standalone phase_ssqueeze on a raw CWT equals the fused ssq_cwt
+    (reference: experimental.py:145-259)."""
+    import jax.numpy as jnp
+    from ssqueeze_rs_tpu import cwt, ssq_cwt
+    from ssqueeze_rs_tpu.experimental import phase_ssqueeze, phase_transform
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(512)
+    Wx, scales, dWx = cwt(x, "gmw", scales="log", derivative=True,
+                          fs=50.0, dtype="float64")
+    Tx, *_ = phase_ssqueeze(Wx, dWx, scales=scales.reshape(-1, 1),
+                            wavelet="gmw", fs=50.0, flipud=True)
+    Tx_ref, *_ = ssq_cwt(x, "gmw", scales="log", fs=50.0, dtype="float64")
+    rel = float(jnp.max(jnp.abs(Tx - Tx_ref)) / jnp.max(jnp.abs(Tx_ref)))
+    assert rel < 1e-12, rel
+
+    # dWx=None: derivative recomputed via trigdiff. Approximate by
+    # construction (padding Wx != transforming padded x, reference
+    # caveat at experimental.py:160-166) — so compare against the
+    # REFERENCE's phase_ssqueeze(dWx=None) on the same Wx instead
+    Tx2, *_ = phase_ssqueeze(Wx, None, scales=scales.reshape(-1, 1),
+                             wavelet="gmw", fs=50.0, flipud=True,
+                             padtype="reflect")
+    Txr, *_ = ssq_ref.experimental.phase_ssqueeze(
+        np.asarray(Wx), None, scales=np.asarray(scales).reshape(-1, 1),
+        wavelet=ssq_ref.Wavelet(("gmw", {"dtype": "float64"})), fs=50.0,
+        flipud=True, padtype="reflect")
+    rel2 = float(np.max(np.abs(np.asarray(Tx2) - np.asarray(Txr))) /
+                 np.max(np.abs(np.asarray(Txr))))
+    assert rel2 < 1e-6, rel2
+
+    w, _, dWx2, _, gamma = phase_transform(Wx, dWx, get_w=True, fs=50.0)
+    assert np.isfinite(np.asarray(w)[np.isfinite(np.asarray(w))]).all()
