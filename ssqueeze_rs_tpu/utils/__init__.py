@@ -6,12 +6,12 @@ from .fft import xifn, aifftshift_idx, afftshift_idx
 from .pad import (next_power_of_2, p2up, pad_params, padsignal, unpad,
                   PAD_MODES)
 from .windows import (get_window, window_norm, window_resolution, window_area,
-                      check_nola)
+                      check_nola, buffer, unbuffer)
 
 __all__ = [
     "WARN", "NOTE", "assert_is_one_of", "mad", "mad_rms",
     "est_riskshrink_thresh", "xifn", "aifftshift_idx", "afftshift_idx",
     "next_power_of_2", "p2up", "pad_params", "padsignal", "unpad", "PAD_MODES",
     "get_window", "window_norm", "window_resolution", "window_area",
-    "check_nola",
+    "check_nola", "buffer", "unbuffer",
 ]

@@ -127,3 +127,53 @@ def check_nola(window: np.ndarray, hop_len: int) -> bool:
         WARN("`window` fails Non-zero Overlap Add (NOLA) criterion; "
              "STFT not invertible")
     return ok
+
+
+def buffer(x, seg_len, n_overlap, modulated=False, parallel=None):
+    """MATLAB-style framing: columns are successive length-`seg_len`
+    slices of `x` overlapping by `n_overlap`; `modulated` swaps halves
+    per frame (= per-hop ifftshift). Host numpy utility
+    (reference parity: utils/stft_utils.py:20-98; `parallel` accepted
+    for API compatibility — vectorization subsumes it).
+
+    1D x -> (seg_len, n_segs); 2D (batch, N) -> (batch, seg_len, n_segs).
+    """
+    x = np.asarray(x)
+    assert x.ndim in (1, 2)
+    hop_len = seg_len - n_overlap
+    n_segs = (x.shape[-1] - seg_len) // hop_len + 1
+    starts = np.arange(n_segs) * hop_len
+    idx = starts[None, :] + np.arange(seg_len)[:, None]   # (seg_len, n_segs)
+    out = x[..., idx]
+    if modulated:
+        # swap point s21 = floor(seg_len/2) for odd lengths (reference
+        # stft_utils.py:80-82: back part has ceil(seg_len/2) samples)
+        s20 = int(np.ceil(seg_len / 2))
+        s21 = s20 - 1 if (seg_len % 2 == 1) else s20
+        out = np.concatenate([out[..., s21:, :], out[..., :s21, :]],
+                             axis=-2)
+    return out
+
+
+def unbuffer(xbuf, window, hop_len, n_fft, N, win_exp=1):
+    """Overlap-add inverse of `buffer` (reference parity:
+    utils/stft_utils.py:141-166). Host numpy utility; the transform path
+    uses the scan-based ops.stft.overlap_add instead."""
+    xbuf = np.asarray(xbuf)
+    window = np.asarray(window)
+    if N is None:
+        N = xbuf.shape[-1] * hop_len + len(window) - 1
+    if len(window) != n_fft:
+        raise ValueError(f"Must have `len(window) == n_fft` "
+                         f"(got {len(window)} != {n_fft})")
+    if win_exp == 0:
+        w = np.ones_like(window)
+    elif win_exp == 1:
+        w = window
+    else:
+        w = window ** win_exp
+    x = np.zeros(N + n_fft - 1, dtype=xbuf.dtype)
+    for i in range(xbuf.shape[-1]):
+        n = i * hop_len
+        x[n:n + n_fft] += xbuf[:, i] * w
+    return x

@@ -126,3 +126,47 @@ def test_replacers_match_reference_semantics():
                           np.array([-1.0, -0.05, 2.0]))
     jy = replace_under_abs(jnp.asarray(y), value=0.2, replacement=0.0)
     assert np.array_equal(np.asarray(jy), np.array([0.0, 0.0, 2.0]))
+
+
+def test_buffer_unbuffer_oracle_parity():
+    """buffer/unbuffer vs the vendored reference (stft_utils.py:20-181)."""
+    import sys, types
+    _numba = types.ModuleType("numba")
+
+    def _jit(*a, **k):
+        if a and callable(a[0]):
+            return a[0]
+
+        def deco(f):
+            return f
+        return deco
+
+    _numba.jit = _jit
+    _numba.njit = _jit
+    _numba.prange = range
+    sys.modules.setdefault("numba", _numba)
+    sys.path.insert(0, "/root/reference/old")
+    import pytest
+    ref = pytest.importorskip("ssqueezepy")
+    from ssqueeze_rs_tpu.utils.windows import buffer, unbuffer
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(200)
+    for seg_len, n_overlap, mod in [(16, 8, False), (17, 12, True),
+                                    (32, 31, True)]:
+        ours = buffer(x, seg_len, n_overlap, modulated=mod)
+        theirs = ref.utils.buffer(x, seg_len, n_overlap, modulated=mod)
+        assert np.array_equal(ours, np.asarray(theirs)), (seg_len,
+                                                          n_overlap, mod)
+    # example from the reference docstring
+    xb = buffer(np.arange(10.0), 5, 3)
+    assert np.array_equal(xb, np.array([[0, 1, 2, 3, 4],
+                                        [2, 3, 4, 5, 6],
+                                        [4, 5, 6, 7, 8]]).T)
+
+    xbuf = rng.standard_normal((16, 12))
+    w = np.hanning(16)
+    for win_exp in (0, 1, 2):
+        ours = unbuffer(xbuf, w, 4, 16, N=48, win_exp=win_exp)
+        theirs = ref.utils.unbuffer(xbuf, w, 4, 16, N=48, win_exp=win_exp)
+        assert np.allclose(ours, np.asarray(theirs), atol=1e-14), win_exp
