@@ -150,6 +150,20 @@ class Wavelet:
     def harea(self, scale=None, N=1024):
         return self.std_t(scale, N) * self.std_w(scale, N)
 
+    # reference-name resolution variants (wavelets.py:259-293):
+    # std_f = cyclic frequency resolution; *_d = dimensional (samples)
+    def std_f(self, scale=None, N=1024, nondim=True):
+        return self.std_w(scale, N, nondim=nondim) / (2 * np.pi)
+
+    def std_t_d(self, scale=None, N=1024):
+        return self.std_t(scale, N, nondim=False)
+
+    def std_w_d(self, scale=None, N=1024):
+        return self.std_w(scale, N, nondim=False)
+
+    def std_f_d(self, scale=None, N=1024):
+        return self.std_w_d(scale, N) / (2 * np.pi)
+
     VISUALS = ("heatmap", "waveforms", "filterbank", "harea", "std_t",
                "std_w", "time-frequency", "anim:time-frequency")
 
