@@ -53,3 +53,17 @@ def afftshift_idx(N):
     if N % 2 == 1:
         return np.fft.fftshift(np.arange(N))
     return np.concatenate([np.arange(N // 2 - 1, N), np.arange(N // 2 - 1)])
+
+
+def afftshift(xh, xp=np):
+    """Analytic fftshift: moves the right N//2+1 bins (Nyquist filed
+    POSITIVE, the analytic-wavelet convention) to the left
+    (reference parity: wavelets.py:931-948)."""
+    xh = xp.asarray(xh)
+    return xh[..., afftshift_idx(xh.shape[-1])]
+
+
+def aifftshift(xh, xp=np):
+    """Inverse of `afftshift` (reference parity: wavelets.py:951-963)."""
+    xh = xp.asarray(xh)
+    return xh[..., aifftshift_idx(xh.shape[-1])]

@@ -170,3 +170,20 @@ def test_buffer_unbuffer_oracle_parity():
         ours = unbuffer(xbuf, w, 4, 16, N=48, win_exp=win_exp)
         theirs = ref.utils.unbuffer(xbuf, w, 4, 16, N=48, win_exp=win_exp)
         assert np.allclose(ours, np.asarray(theirs), atol=1e-14), win_exp
+
+
+def test_afftshift_oracle_parity():
+    import sys
+    sys.path.insert(0, "/root/reference/old")
+    import pytest
+    ref = pytest.importorskip("ssqueezepy")
+    from ssqueeze_rs_tpu.utils.fft import afftshift, aifftshift
+
+    rng = np.random.default_rng(0)
+    for N in (16, 17):
+        xh = rng.standard_normal(N) + 1j * rng.standard_normal(N)
+        assert np.array_equal(afftshift(xh),
+                              np.asarray(ref.wavelets.afftshift(xh))), N
+        assert np.array_equal(aifftshift(xh),
+                              np.asarray(ref.wavelets.aifftshift(xh))), N
+        assert np.array_equal(aifftshift(afftshift(xh)), xh), N
