@@ -27,7 +27,7 @@ from ..config import DEFAULTS, complex_dtype
 from ..scales import (process_scales, process_fs_and_t,
                       logscale_transition_idx)
 from ..utils.fft import xifn
-from ..utils.pad import padsignal
+from ..utils.pad import padsignal, p2up
 from ..wavelets.base import Wavelet
 from ..wavelets.adm import adm_cwt, adm_ssq
 
@@ -244,6 +244,18 @@ def cwt(x, wavelet="gmw", scales="log-piecewise", fs=None, t=None, nv=32,
         xp, _, n1, _ = padsignal(x, padtype, get_params=True)
     else:
         xp, n1 = x, 0
+
+    # friendly heads-up before an opaque device OOM: the working set of a
+    # single-shot CWT is ~20 arrays of (na, padded_len) f32 per channel
+    import jax as _jax
+    if _jax.default_backend() == "tpu":
+        b_ = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        est = 20 * len(scales_arr) * p2up(N)[0] * 4 * b_ *             (2 if derivative else 1)
+        if est > 14e9:
+            from ..utils.common import WARN
+            WARN(f"single-shot cwt needs ~{est / 1e9:.0f} GB HBM at "
+                 f"N={N}, na={len(scales_arr)}, batch={b_}; consider "
+                 "parallel.process_recording or parallel.chunked_cwt")
 
     from .fft_mxu import use_mxu_fft
     from ..config import use_pallas_kernels
