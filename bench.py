@@ -29,14 +29,19 @@ BASELINE = {  # seconds, reference GPU (old/README.md:47-54)
 BASELINE_MSPS = 160000 / BASELINE["160k-ssq_cwt"] / 1e6
 
 
-def timed(fn, args, K=8):
-    """fn(*args, i) -> device scalar. Returns mean seconds per execution."""
+def timed(fn, args, K=8, reps=3):
+    """fn(*args, i) -> device scalar. Returns the best (min) of `reps`
+    K-call means — the relay/chip shows occasional ~40% slow phases, and
+    min-of-means is the standard noise-robust estimator."""
     out = fn(*args, 0)          # compile + run once
     _ = float(out)
-    t0 = time.perf_counter()
-    outs = [fn(*args, i + 1) for i in range(K)]
-    _ = float(outs[-1])
-    return (time.perf_counter() - t0) / K
+    best = float("inf")
+    for r in range(reps):
+        t0 = time.perf_counter()
+        outs = [fn(*args, r * K + i + 1) for i in range(K)]
+        _ = float(outs[-1])
+        best = min(best, (time.perf_counter() - t0) / K)
+    return best
 
 
 def main():
