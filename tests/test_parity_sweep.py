@@ -121,3 +121,20 @@ def test_ssq_stft_random_configs(trial):
     assert np.asarray(Tx).shape == np.asarray(Txr).shape
     assert _rel(Sx, Sxr) < 1e-9, (trial, _rel(Sx, Sxr))
     assert _rel(Tx, Txr) < 1e-7, (trial, N, n_fft, window, _rel(Tx, Txr))
+
+
+@pytest.mark.parametrize("maprange,squeezing", [("energy", "sum"),
+                                                ("peak", "abs")])
+def test_ssq_cwt_maprange_energy_and_abs(maprange, squeezing):
+    """maprange='energy' grid + squeezing='abs' (the fused path derives
+    phase from the transformed Wx — a reference quirk we reproduce,
+    ssqueezing.py:197-205) vs the oracle."""
+    rng = np.random.default_rng(77)
+    x = rng.standard_normal(512)
+    Tx, Wx, fr, sc = sq.ssq_cwt(x, "gmw", scales="log", maprange=maprange,
+                                squeezing=squeezing, dtype="float64")
+    Txr, Wxr, frr, scr = ssq_ref.ssq_cwt(
+        x, ("gmw", {"dtype": "float64"}), scales="log", maprange=maprange,
+        squeezing=squeezing)
+    assert _rel(fr, frr) < 1e-9, _rel(fr, frr)
+    assert _rel(Tx, Txr) < 1e-6, (maprange, squeezing, _rel(Tx, Txr))
