@@ -4,6 +4,10 @@ Run on CPU with 8 virtual devices:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
       python examples/chunked_multichip.py
 """
+import sys
+
+sys.path.insert(0, ".")
+
 import numpy as np
 import jax
 
