@@ -79,11 +79,22 @@ def find_max_scale_alt(wavelet, N, min_cutoff=0.1, max_cutoff=0.8):
     return div_scale / w_1div
 
 
-@lru_cache(maxsize=1024)
-def cwt_scalebounds(wavelet, N, preset=None, min_cutoff=None, max_cutoff=None,
-                    cutoff=None, bin_loc=None, bin_amp=None, use_padded_N=True):
+def cwt_scalebounds(wavelet, N, preset=None, min_cutoff=None,
+                    max_cutoff=None, cutoff=None, bin_loc=None, bin_amp=None,
+                    use_padded_N=True):
     """(min_scale, max_scale) for which `wavelet` is well-behaved
-    (reference: cwt_utils.py:66-188)."""
+    (reference: cwt_utils.py:66-188). Accepts str / (str, dict) / Wavelet
+    specs; results cached per frozen Wavelet."""
+    from .wavelets.base import Wavelet
+    return _cwt_scalebounds_cached(Wavelet.build(wavelet), N, preset,
+                                   min_cutoff, max_cutoff, cutoff, bin_loc,
+                                   bin_amp, use_padded_N)
+
+
+@lru_cache(maxsize=1024)
+def _cwt_scalebounds_cached(wavelet, N, preset=None, min_cutoff=None,
+                            max_cutoff=None, cutoff=None, bin_loc=None,
+                            bin_amp=None, use_padded_N=True):
     defaults = dict(min_cutoff=0.6, max_cutoff=0.8, cutoff=-0.5)
 
     if preset is not None:

@@ -238,3 +238,31 @@ def test_ssq_cwt_difftype_variants_parity(x64):
         finite = np.isfinite(w_r)
         werr = np.abs(w_o[finite] - w_r[finite]).max()
         assert werr < 1e-8, (difftype, werr)
+
+
+def test_scalebounds_presets_parity():
+    """cwt_scalebounds presets minimal/maximal/naive vs the oracle
+    (reference: utils/cwt_utils.py:66-190)."""
+    from ssqueezepy.utils import cwt_scalebounds as ref_bounds
+    from ssqueezepy import Wavelet as RefWavelet
+    from ssqueeze_rs_tpu import cwt_scalebounds
+
+    for preset in ("minimal", "maximal", "naive"):
+        for beta in (8.0, 60.0):
+            ref_wav = RefWavelet(("gmw", {"beta": beta, "dtype": "float64"}))
+            mr, Mr = ref_bounds(ref_wav, 1024, preset=preset)
+            mo, Mo = cwt_scalebounds(("gmw", {"beta": beta}), 1024,
+                                     preset=preset)
+            assert abs(mo / mr - 1) < 1e-6, (preset, beta, mo, mr)
+            assert abs(Mo / Mr - 1) < 1e-6, (preset, beta, Mo, Mr)
+
+
+def test_linear_scales_parity():
+    """scales='linear' grid vs the oracle."""
+    from ssqueezepy.utils import process_scales as ref_process_scales
+    from ssqueezepy import Wavelet as RefWavelet
+    ref_wav = RefWavelet(("gmw", {"dtype": "float64"}))
+    ref_scales = ref_process_scales("linear", 512, ref_wav, nv=16)
+    ours = sq.process_scales("linear", 512, "gmw", nv=16)
+    assert ours.shape == ref_scales.shape
+    assert np.allclose(ours, ref_scales, rtol=1e-6)
