@@ -54,16 +54,28 @@ def integrate_analytic(int_fn, nowarn=False):
     return np.trapezoid(arr, t) + int_nz
 
 
-@lru_cache(maxsize=256)
 def adm_ssq(wavelet):
-    """Synchrosqueezing admissibility: int conj(psih(w))/w dw, w=0..inf."""
+    """Synchrosqueezing admissibility: int conj(psih(w))/w dw, w=0..inf.
+    Accepts str / (str, dict) / Wavelet specs."""
+    from .base import Wavelet
+    return _adm_ssq_cached(Wavelet.build(wavelet))
+
+
+@lru_cache(maxsize=256)
+def _adm_ssq_cached(wavelet):
     Css = integrate_analytic(lambda w: np.conj(np.asarray(wavelet(w))) / w)
     return float(Css.real) if abs(np.imag(Css)) < 1e-15 else complex(Css)
 
 
-@lru_cache(maxsize=256)
 def adm_cwt(wavelet):
-    """CWT admissibility: int |psih(w)|^2 / w dw, w=0..inf."""
+    """CWT admissibility: int |psih(w)|^2 / w dw, w=0..inf.
+    Accepts str / (str, dict) / Wavelet specs."""
+    from .base import Wavelet
+    return _adm_cwt_cached(Wavelet.build(wavelet))
+
+
+@lru_cache(maxsize=256)
+def _adm_cwt_cached(wavelet):
     def fn(w):
         p = np.asarray(wavelet(w))
         return np.conj(p) * p / w

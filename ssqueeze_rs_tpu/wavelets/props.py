@@ -86,11 +86,19 @@ def _sampled(wavelet, scale, N):
     return w, psih, np.abs(psih) ** 2
 
 
-@lru_cache(maxsize=4096)
 def center_frequency(wavelet, scale=None, N=1024, kind="energy",
-                     force_int=None):
+                      force_int=None):
     """Radian center frequency: 'energy' | 'peak' | 'peak-ct'
-    (reference: old/ssqueezepy/wavelets.py:610-749)."""
+    (reference: old/ssqueezepy/wavelets.py:610-749).
+    Accepts str / (str, dict) / Wavelet specs."""
+    from .base import Wavelet
+    return _center_frequency_cached(Wavelet.build(wavelet), scale, N, kind,
+                                    force_int)
+
+
+@lru_cache(maxsize=4096)
+def _center_frequency_cached(wavelet, scale=None, N=1024, kind="energy",
+                             force_int=None):
     assert_is_one_of(kind, "kind", ("energy", "peak", "peak-ct"))
     if kind == "peak-ct" and scale is not None:
         NOTE("`scale` ignored with `kind = 'peak-ct'`")
@@ -118,10 +126,18 @@ def center_frequency(wavelet, scale=None, N=1024, kind="energy",
         return float(wc)
 
 
-@lru_cache(maxsize=1024)
 def freq_resolution(wavelet, scale=10, N=1024, nondim=True, force_int=True):
     """Frequency std of the wavelet at `scale`
-    (reference: old/ssqueezepy/wavelets.py:752-809)."""
+    (reference: old/ssqueezepy/wavelets.py:752-809).
+    Accepts str / (str, dict) / Wavelet specs."""
+    from .base import Wavelet
+    return _freq_resolution_cached(Wavelet.build(wavelet), scale, N, nondim,
+                                   force_int)
+
+
+@lru_cache(maxsize=1024)
+def _freq_resolution_cached(wavelet, scale=10, N=1024, nondim=True,
+                            force_int=True):
     use_formula = ((scale < 4 or scale > N / 5) and not force_int)
     if use_formula:
         scale_orig = scale
@@ -143,11 +159,21 @@ def freq_resolution(wavelet, scale=10, N=1024, nondim=True, force_int=True):
     return float(std_w)
 
 
-@lru_cache(maxsize=1024)
 def time_resolution(wavelet, scale=10, N=1024, min_decay=1e3, max_mult=2,
-                    min_mult=2, force_int=True, nondim=True):
+                     min_mult=2, force_int=True, nondim=True):
     """Time std of the wavelet at `scale`
-    (reference: old/ssqueezepy/wavelets.py:812-927)."""
+    (reference: old/ssqueezepy/wavelets.py:812-927).
+    Accepts str / (str, dict) / Wavelet specs."""
+    from .base import Wavelet
+    return _time_resolution_cached(Wavelet.build(wavelet), scale, N,
+                                   min_decay, max_mult, min_mult, force_int,
+                                   nondim)
+
+
+@lru_cache(maxsize=1024)
+def _time_resolution_cached(wavelet, scale=10, N=1024, min_decay=1e3,
+                            max_mult=2, min_mult=2, force_int=True,
+                            nondim=True):
     use_formula = ((scale < 4 or scale > N / 5) and not force_int)
     if use_formula:
         scale_orig = scale

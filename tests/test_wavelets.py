@@ -153,3 +153,21 @@ def test_resolution_scaling_laws():
         assert abs(ts / t0 - s / s0) < 0.05, (s, ts / t0)
         assert abs(ws / w0 - s0 / s) < 0.05, (s, ws / w0)
         assert abs((ts * ws) / (t0 * w0) - 1) < 0.05
+
+
+def test_spec_args_accepted_everywhere():
+    """str / (str, dict) wavelet specs work for every planning function
+    (the lru_cache layers must normalize specs before hashing)."""
+    import ssqueeze_rs_tpu as sq
+    spec = ("gmw", {"beta": 8.0})
+    w = Wavelet.build(spec)
+    assert sq.adm_cwt(spec) == sq.adm_cwt(w)
+    assert sq.adm_ssq(spec) == sq.adm_ssq(w)
+    assert (sq.center_frequency(spec, scale=10.0, N=512)
+            == sq.center_frequency(w, scale=10.0, N=512))
+    assert (sq.freq_resolution(spec, scale=10.0, N=512)
+            == sq.freq_resolution(w, scale=10.0, N=512))
+    assert (sq.time_resolution(spec, scale=10.0, N=512)
+            == sq.time_resolution(w, scale=10.0, N=512))
+    assert sq.cwt_scalebounds(spec, 512) == sq.cwt_scalebounds(w, 512)
+    assert sq.cwt_scalebounds("morlet", 512)[0] > 0
