@@ -41,8 +41,15 @@ try:
     from jax import shard_map as _shard_map
 
     def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs)
+        # check_vma=False: compiled pallas_call outputs carry no
+        # varying-mesh-axes metadata, and the new checker rejects them
+        # (TPU-only — interpret-mode Pallas lowers to jax ops and passes)
+        try:
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+        except TypeError:   # older jax without check_vma
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map as _shard_map_old
 
