@@ -99,3 +99,25 @@ def test_signals_snr():
     noise = xn - xc
     snr_meas = 10 * np.log10(np.mean(xc**2) / np.mean(noise**2))
     assert abs(snr_meas - 10) < 1.5, snr_meas
+
+
+def test_transforms_differentiable():
+    """JAX-native bonus (not a reference feature): the XLA paths are
+    end-to-end differentiable — usable as trainable front-ends."""
+    import jax
+    import jax.numpy as jnp
+    from ssqueeze_rs_tpu import stft, istft, cwt, ssq_cwt
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(512),
+                    jnp.float32)
+    for fn in (
+        lambda x: jnp.sum(jnp.abs(stft(x, n_fft=64, dtype="float32"))),
+        lambda x: jnp.sum(jnp.abs(cwt(x, "gmw", dtype="float32")[0])),
+        lambda x: jnp.sum(jnp.abs(istft(stft(x, n_fft=64,
+                                             dtype="float32"),
+                                        n_fft=64, N=512))),
+        lambda x: jnp.sum(jnp.abs(ssq_cwt(x, "gmw", dtype="float32")[0])),
+    ):
+        g = jax.grad(fn)(x)
+        assert jnp.isfinite(g).all()
+        assert float(jnp.abs(g).sum()) > 0
