@@ -103,7 +103,15 @@ def main():
     e = float(chirp_err(xc))
     check("ssq_stft chirp tracking", e < 10.0, f"median |df|={e:.2f} Hz")
 
-    # 6. timing sanity (not a hard gate; relay adds ~4-5 ms per dispatch)
+    # 6. shard_map + Pallas composition (1-device mesh on the chip)
+    from ssqueeze_rs_tpu.parallel import make_mesh, chunked_stft
+    mesh = make_mesh((1, 1), ("data", "time"))
+    S = chunked_stft(x[None], mesh, n_fft=256)
+    check("chunked_stft on-chip (shard_map+Pallas module)",
+          S.shape == (1, 129, N) and np.isfinite(float(jnp.sum(jnp.abs(S)))),
+          f"{S.shape}")
+
+    # 7. timing sanity (not a hard gate; relay adds ~4-5 ms per dispatch)
     @jax.jit
     def ssq_fn(x, i):
         return jnp.sum(jnp.abs(ssq.ssq_cwt(x + i * 1e-12, "gmw", fs=fs,
