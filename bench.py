@@ -81,10 +81,10 @@ def main():
         return jnp.sum(jnp.abs(ssq_stft(x + i * 1e-12, n_fft=n_fft,
                                         dtype="float32")[0]))
 
-    t_ssq_cwt = timed(ssq_fn, (x,), K=8)
-    t_cwt = timed(cwt_fn, (x,), K=8)
-    t_stft = timed(stft_fn, (x,), K=4)
-    t_ssq_stft = timed(ssq_stft_fn, (x,), K=4)
+    t_ssq_cwt = timed(ssq_fn, (x,), K=16)
+    t_cwt = timed(cwt_fn, (x,), K=16)
+    t_stft = timed(stft_fn, (x,), K=8)
+    t_ssq_stft = timed(ssq_stft_fn, (x,), K=8)
 
     msps = N / t_ssq_cwt / 1e6
     extras = {
