@@ -33,46 +33,95 @@ from .fft_mxu import best_split, _planar_consts, _alt_sign, _check_nyq
 from ..config import interpret_mode
 
 __all__ = ["ifft_halfband_planar_fused", "cwt_halfband_fused",
-           "fused_ok"]
+           "fused_ok", "fused_tiles"]
 
 
-def _vmem_estimate(M: int, pipelines: int) -> int:
-    """Rough per-grid-step VMEM footprint (bytes) of the fused kernel:
-    stage operands/outputs (x pipelines) + shared constants + I/O blocks.
-    The bench chip has 128 MB VMEM (measured: a 2^21 cwt-mode kernel
-    was rejected at 150.5 MB)."""
+def _vmem_estimate(M: int, pipelines: int, tiles: int = 1) -> int:
+    """Rough per-grid-step VMEM footprint (bytes) of the fused kernel.
+
+    Mosaic DOUBLE-BUFFERS every input window whose index map varies
+    across grid steps (measured: a tiles=2 2^21 kernel OOMed on
+    2x-buffered bf16 W2 tile windows of 16 MB each); constants with a
+    fixed index map are single-buffered. With tiles > 1 the k2 axis is
+    split into M2/tiles columns per step and OUT accumulates in a VMEM
+    scratch, so only the stage-1 matrix and the accumulator stay
+    full-size. The bench chip has 128 MB VMEM; the untiled 2^21
+    cwt-mode kernel was rejected at a measured 150.5 MB."""
     M1, M2 = best_split(M)
-    per_pipe = (M1 * M2 * 4 * 2          # X f32 + bf16 splits (~half)
-                + 2 * M1 * M2 * 4        # B1
-                + M1 * 2 * M2 * 4 * 2    # C2 f32 + splits
-                + M * 4)                 # OUT ~ (M1, 2R) ~ M f32
-    consts = (2 * M1 * M1 * 2 * 2        # W1s hi/lo bf16
-              + 2 * M1 * M2 * 4          # Tr, Ti f32
-              + 2 * M * 2 * 2            # W2sT hi/lo ~ (2M2, 2R) bf16
-              + M * 4 // 256)            # alt slice
-    return pipelines * per_pipe + consts
+    Mt = M2 // tiles
+    R2 = 2 * M2                          # worst-case 2R (keep ~ full M)
+    # stage-2 live temporaries: the untiled kernel's single-expression
+    # bf16x3 keeps 3 (M1, 2R) f32 products live (measured 52.9 MB of
+    # kernel stack at 2R=3908); the tiled kernel adds dots into the
+    # scratch one at a time, so 1 live temp + the accumulator.
+    stage2 = (3 if tiles == 1 else 2) * M1 * R2 * 4
+    per_pipe = (2 * M1 * Mt * 4 * 2      # zr/zi input windows, 2x-buffered
+                + M1 * Mt * 6            # X f32 + bf16 splits
+                + 2 * M1 * Mt * 4        # B1
+                + M1 * 2 * Mt * 6        # C2 f32 + splits
+                + stage2)
+    buf_t = 2 if tiles > 1 else 1        # tile windows vary with t
+    consts = (2 * M1 * M1 * 2 * 2        # W1s hi/lo bf16 (fixed map)
+              + buf_t * 2 * M1 * Mt * 4  # Tr, Ti tiles f32
+              + buf_t * 2 * 2 * Mt * R2 * 2   # W2 tile hi/lo bf16
+              + M * 4)                   # alt row (1, L), L <= M
+    # output windows: 2 planes per pipeline, (1, 1, L) f32, 2x-buffered
+    # (measured: 2 x 8 MB per plane at L = 2e6 in the OOM dump)
+    outs = 2 * pipelines * M * 4 * 2
+    return pipelines * per_pipe + consts + outs
+
+
+def fused_tiles(M: int, pipelines: int = 1):
+    """Smallest power-of-2 k2-tiling factor that fits the fused kernel's
+    working set in VMEM (100 MB estimator budget on a 128 MB chip —
+    XLA reserves ~19 MB beyond the kernel's scoped allocation), or None
+    when the shape is unsupported (non-power-of-2, too small to tile
+    the MXU, or still too big at tiles=16). tiles=1 is the untiled
+    fast path."""
+    s = best_split(M)
+    if s is None or M < (1 << 14):
+        return None
+    M2 = s[1]
+    for t in (1, 2, 4, 8, 16):
+        if M2 % t or (M2 // t) % 128:
+            continue
+        # untiled gets a higher budget: every admitted untiled config
+        # (up to 2^19 x 2 pipelines, est 106 MB) is measured working on
+        # hardware; tiled configs keep more headroom for XLA's ~19 MB
+        # of non-kernel VMEM.
+        budget = 108 if t == 1 else 100
+        if _vmem_estimate(M, pipelines, t) < budget * 1024 * 1024:
+            return t
+    return None
 
 
 def fused_ok(M: int, pipelines: int = 1) -> bool:
-    """Kernel supports power-of-2 M with a near-square split, shapes big
-    enough to tile the MXU (M >= 2^14), and a per-step working set that
-    fits VMEM (128 MB on the bench chip; larger M falls back to the XLA
-    planar engine)."""
-    s = best_split(M)
-    return (s is not None and M >= (1 << 14) and
-            _vmem_estimate(M, pipelines) < 100 * 1024 * 1024)
+    """True when the fused kernel covers M (possibly k2-tiled)."""
+    return fused_tiles(M, pipelines) is not None
 
 
 @functools.lru_cache(maxsize=32)
-def _fused_consts(M: int, r0: int, r1: int):
+def _fused_consts(M: int, r0: int, r1: int, tiles: int = 1):
     """Kernel constants derived from the SHARED XLA-engine constants
     (fft_mxu._planar_consts — single source of truth for the stacked-real
     stage matrices): W2s transposed for the in-kernel dot orientation,
     and both stage matrices bf16 hi/lo split for the explicit 3-pass
     f32-accurate matmul (Mosaic supports neither Precision.HIGH nor
-    DotAlgorithm presets)."""
+    DotAlgorithm presets).
+
+    With tiles > 1 the W2sT rows are reordered tile-major: C2 built from
+    k2-column tile t is concat([real_t, imag_t]) along the contraction
+    axis, so the matching W2sT rows (t-th real slice, then t-th imag
+    slice) must be contiguous for the (t, 0)-indexed BlockSpec."""
     W1s, Tr, Ti, W2s = _planar_consts(M, r0, r1)
     W2sT = np.ascontiguousarray(W2s.T)
+    if tiles > 1:
+        M2 = W2sT.shape[0] // 2
+        Mt = M2 // tiles
+        order = np.concatenate(
+            [np.r_[t * Mt:(t + 1) * Mt, M2 + t * Mt:M2 + (t + 1) * Mt]
+             for t in range(tiles)])
+        W2sT = np.ascontiguousarray(W2sT[order])
 
     def split(a):
         import ml_dtypes
@@ -105,6 +154,54 @@ def _dot3_r(x, wh, wl):
     return d(xh, wh) + d(xl, wh) + d(xh, wl)
 
 
+def _stage2_accumulate(acc_ref, zr, zi, t, w1h, w1l, Tr, Ti, w2h, w2l):
+    """One k2 tile of the pipeline, accumulated into acc_ref (M1, 2R).
+    The three bf16x3 stage-2 products are added into the scratch ONE AT
+    A TIME: a single `a@b + a@c + d@b` expression keeps three (M1, 2R)
+    f32 temporaries live at once (measured 52.9 MB of kernel stack at
+    2R=3908), which dominated VMEM at large R."""
+    X = jnp.concatenate([zr, zi], axis=0)                 # (M1, Mt)
+    B1 = _dot3(w1h, w1l, X)                               # (2M1, Mt)
+    M1 = X.shape[0]
+    Br, Bi = B1[:M1], B1[M1:]
+    C2 = jnp.concatenate([Br * Tr - Bi * Ti, Br * Ti + Bi * Tr],
+                         axis=-1)                         # (M1, 2Mt)
+    xh, xl = _split_bf16(C2)
+    d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = acc_ref[:] + d(xh, w2h)
+    acc_ref[:] = acc_ref[:] + d(xl, w2h)
+    acc_ref[:] = acc_ref[:] + d(xh, w2l)
+
+
+def _make_kernel_tiled(M1, Mt, R, off, L, T):
+    """k2-tiled variant: grid=(B, T), t innermost. Each step processes
+    Mt = M2/T spectrum columns and accumulates the partial stage-2
+    product (M1, 2R) in a VMEM scratch; the transpose/unpad/Nyquist
+    epilogue runs once at t == T-1. The output block index map is
+    constant in t, so the block is revisited (stays in VMEM) until the
+    batch row advances."""
+    def kernel(zr_ref, zi_ref, nyqr_ref, nyqi_ref, w1h_ref, w1l_ref,
+               tr_ref, ti_ref, w2h_ref, w2l_ref, alt_ref, outr_ref,
+               outi_ref, acc_ref):
+        t = pl.program_id(1)
+        _stage2_accumulate(acc_ref, zr_ref[0], zi_ref[0], t,
+                           w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
+                           w2h_ref[:], w2l_ref[:])
+
+        @pl.when(t == T - 1)
+        def _():
+            OUT = acc_ref[:].T.reshape(2, R * M1)
+            alt = alt_ref[0]
+            outr_ref[0, 0] = OUT[0, off:off + L] + nyqr_ref[0, 0, 0] * alt
+            outi_ref[0, 0] = OUT[1, off:off + L] + nyqi_ref[0, 0, 0] * alt
+    return kernel
+
+
 def _make_kernel(M1, M2, R, off, L):
     def kernel(zr_ref, zi_ref, nyqr_ref, nyqi_ref, w1h_ref, w1l_ref,
                tr_ref, ti_ref, w2h_ref, w2l_ref, alt_ref, outr_ref,
@@ -126,8 +223,9 @@ def _make_kernel(M1, M2, R, off, L):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("M", "keep", "interpret"))
-def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret):
+@functools.partial(jax.jit, static_argnames=("M", "keep", "interpret",
+                                              "tiles"))
+def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret, tiles=1):
     B, K1, M2 = Zr.shape
     M1 = 2 * K1
     start, length = keep
@@ -135,41 +233,62 @@ def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret):
     r1 = -(-(start + length) // M1)
     R = r1 - r0
     off = start - r0 * M1
-    (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(M, r0, r1)
+    (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(M, r0, r1, tiles)
     alt_keep = alt[start:start + length][None, :]
+    T, Mt = tiles, M2 // tiles
 
-    kernel = _make_kernel(M1, M2, R, off, length)
-    row = lambda i: (i, 0, 0)
-    const2 = lambda i: (0, 0)
+    if T == 1:
+        kernel = _make_kernel(M1, M2, R, off, length)
+        grid = (B,)
+        row = lambda i: (i, 0, 0)
+        const2 = lambda i: (0, 0)
+        tile2 = const2
+        zspec = pl.BlockSpec((1, K1, M2), row, memory_space=pltpu.VMEM)
+        w2spec = pl.BlockSpec(W2h.shape, const2, memory_space=pltpu.VMEM)
+        out_idx = lambda i: (i, 0, 0)
+        scratch = []
+    else:
+        kernel = _make_kernel_tiled(M1, Mt, R, off, length, T)
+        grid = (B, T)
+        row = lambda i, t: (i, 0, 0)
+        const2 = lambda i, t: (0, 0)
+        tile2 = lambda i, t: (0, t)
+        zspec = pl.BlockSpec((1, K1, Mt), lambda i, t: (i, 0, t),
+                             memory_space=pltpu.VMEM)
+        w2spec = pl.BlockSpec((2 * Mt, W2h.shape[1]), lambda i, t: (t, 0),
+                              memory_space=pltpu.VMEM)
+        # accumulate in VMEM scratch; output block revisited across t
+        out_idx = lambda i, t: (i, 0, 0)
+        scratch = [pltpu.VMEM((M1, 2 * R), jnp.float32)]
+
     outr, outi = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, K1, M2), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K1, M2), row, memory_space=pltpu.VMEM),
+            zspec,
+            zspec,
             # (B, 1, 128) lane-padded scalars: Mosaic constrains the last
             # two block dims to (8,128)-divisible or full-array-equal
-            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), row, memory_space=pltpu.VMEM),
             pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
             pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(Tr.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(Ti.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(W2h.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(W2h.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M1, Mt), tile2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M1, Mt), tile2, memory_space=pltpu.VMEM),
+            w2spec,
+            w2spec,
             pl.BlockSpec((1, length), const2, memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((1, 1, length), lambda i: (i, 0, 0),
+        out_specs=(pl.BlockSpec((1, 1, length), out_idx,
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1, length), lambda i: (i, 0, 0),
+                   pl.BlockSpec((1, 1, length), out_idx,
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((B, 1, length), jnp.float32),
                    jax.ShapeDtypeStruct((B, 1, length), jnp.float32)),
+        scratch_shapes=scratch,
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024))),
+            vmem_limit_bytes=127 * 1024 * 1024))),
     )(Zr, Zi, jnp.broadcast_to(nyq_r[:, None, None], (B, 1, 128)),
       jnp.broadcast_to(nyq_i[:, None, None], (B, 1, 128)),
       jnp.asarray(W1h), jnp.asarray(W1l), jnp.asarray(Tr), jnp.asarray(Ti),
@@ -178,22 +297,68 @@ def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret):
 
 
 def ifft_halfband_planar_fused(Zr, Zi, keep=None, nyq_r=None, nyq_i=None,
-                               interpret=None):
+                               interpret=None, tiles=None):
     """Drop-in for fft_mxu.ifft_mxu_halfband_planar (same contract):
     Zr/Zi (B, K1, M2) f32 planes of the half spectrum, keep=(start, len),
-    nyq planes (B,). Returns (xr, xi) (B, len) f32."""
+    nyq planes (B,). Returns (xr, xi) (B, len) f32.
+
+    tiles=None picks the k2-tiling factor automatically (1 = untiled
+    fast path; >1 extends VMEM coverage up to M=2^21, i.e. ~1M-sample
+    signals); pass an explicit power of 2 to force (tests)."""
     if interpret is None:
         interpret = interpret_mode()
     B, K1, M2 = Zr.shape
     M = 2 * K1 * M2
     if keep is None:
         keep = (0, M)
+    if tiles is None:
+        tiles = fused_tiles(M, 1)
+        if tiles is None:
+            raise ValueError(f"fused kernel does not support M={M}; "
+                             "check fused_ok(M) before calling")
+    elif M2 % tiles:
+        raise ValueError(f"tiles={tiles} must divide M2={M2}")
     nyq_r, nyq_i = _check_nyq(nyq_r, nyq_i, B, Zr.dtype)
     return _fused_call(Zr, Zi, nyq_r, nyq_i, M=M, keep=tuple(keep),
-                       interpret=interpret)
+                       interpret=interpret, tiles=int(tiles))
 
 
 # -- cwt-mode fused kernel: filterbank multiply + iFFT in one pass ------------
+def _make_cwt_kernel_tiled(M1, Mt, R, off, L, derivative, T):
+    """k2-tiled cwt-mode kernel (see _make_kernel_tiled): grid=(na, T),
+    Z = psih * xhat built per column tile in VMEM, partial stage-2
+    products accumulated one dot at a time in per-pipeline scratches."""
+    def kernel(pw_ref, xr_ref, xi_ref, xig_ref, invdt_ref, nwr_ref,
+               nwi_ref, ndr_ref, ndi_ref, w1h_ref, w1l_ref, tr_ref,
+               ti_ref, w2h_ref, w2l_ref, alt_ref, owr_ref, owi_ref,
+               odr_ref, odi_ref, accw_ref, accd_ref):
+        t = pl.program_id(1)
+        p = pw_ref[0]                                      # (K1, Mt)
+        zr = p * xr_ref[:]
+        zi = p * xi_ref[:]
+        args = (w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
+                w2h_ref[:], w2l_ref[:])
+        _stage2_accumulate(accw_ref, zr, zi, t, *args)
+        if derivative:
+            s = xig_ref[:] * invdt_ref[0, 0, 0]
+            _stage2_accumulate(accd_ref, -zi * s, zr * s, t, *args)
+
+        @pl.when(t == T - 1)
+        def _():
+            alt = alt_ref[0]
+            OW = accw_ref[:].T.reshape(2, R * M1)[:, off:off + L]
+            owr_ref[0, 0] = OW[0] + nwr_ref[0, 0, 0] * alt
+            owi_ref[0, 0] = OW[1] + nwi_ref[0, 0, 0] * alt
+            if derivative:
+                OD = accd_ref[:].T.reshape(2, R * M1)[:, off:off + L]
+                odr_ref[0, 0] = OD[0] + ndr_ref[0, 0, 0] * alt
+                odi_ref[0, 0] = OD[1] + ndi_ref[0, 0, 0] * alt
+            else:
+                odr_ref[0, 0] = jnp.zeros((L,), jnp.float32)
+                odi_ref[0, 0] = jnp.zeros((L,), jnp.float32)
+    return kernel
+
+
 def _make_cwt_kernel(M1, M2, R, off, L, derivative):
     K1 = M1 // 2
 
@@ -231,9 +396,9 @@ def _make_cwt_kernel(M1, M2, R, off, L, derivative):
 
 
 @functools.partial(jax.jit, static_argnames=("M", "keep", "derivative",
-                                             "interpret"))
+                                             "interpret", "tiles"))
 def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
-                    derivative, interpret):
+                    derivative, interpret, tiles=1):
     na, K1, M2 = Pw.shape
     M1 = 2 * K1
     start, length = keep
@@ -241,45 +406,70 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
     r1 = -(-(start + length) // M1)
     R = r1 - r0
     off = start - r0 * M1
-    (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(M, r0, r1)
+    (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(M, r0, r1, tiles)
     alt_keep = alt[start:start + length][None, :]
+    T, Mt = tiles, M2 // tiles
 
-    kernel = _make_cwt_kernel(M1, M2, R, off, length, derivative)
-    row3 = lambda i: (i, 0, 0)
-    const2 = lambda i: (0, 0)
-    constg = lambda i: (0, 0)
+    if T == 1:
+        kernel = _make_cwt_kernel(M1, M2, R, off, length, derivative)
+        grid = (na,)
+        row3 = lambda i: (i, 0, 0)
+        const2 = lambda i: (0, 0)
+        const3 = lambda i: (0, 0, 0)
+        tile2 = const2
+        pwspec = pl.BlockSpec((1, K1, M2), row3, memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((K1, M2), const2, memory_space=pltpu.VMEM)
+        w2spec = pl.BlockSpec(W2h.shape, const2, memory_space=pltpu.VMEM)
+        scratch = []
+    else:
+        kernel = _make_cwt_kernel_tiled(M1, Mt, R, off, length,
+                                        derivative, T)
+        grid = (na, T)
+        row3 = lambda i, t: (i, 0, 0)
+        const2 = lambda i, t: (0, 0)
+        const3 = lambda i, t: (0, 0, 0)
+        tile2 = lambda i, t: (0, t)
+        pwspec = pl.BlockSpec((1, K1, Mt), lambda i, t: (i, 0, t),
+                              memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((K1, Mt), tile2, memory_space=pltpu.VMEM)
+        w2spec = pl.BlockSpec((2 * Mt, W2h.shape[1]), lambda i, t: (t, 0),
+                              memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((M1, 2 * R), jnp.float32),
+                   pltpu.VMEM((M1, 2 * R) if derivative else (8, 128),
+                              jnp.float32)]
+
     lane = lambda v: jnp.broadcast_to(v[:, None, None], (na, 1, 128))
     scal = jnp.broadcast_to(inv_dt.reshape(1, 1, 1), (1, 1, 128))
     out3 = lambda: pl.BlockSpec((1, 1, length), row3,
                                 memory_space=pltpu.VMEM)
     owr, owi, odr, odi = pl.pallas_call(
         kernel,
-        grid=(na,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, K1, M2), row3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K1, M2), constg, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K1, M2), constg, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K1, M2), constg, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 128), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pwspec,
+            gspec,
+            gspec,
+            gspec,
+            pl.BlockSpec((1, 1, 128), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 128), row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 128), row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 128), row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 128), row3, memory_space=pltpu.VMEM),
             pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
             pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(Tr.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(Ti.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(W2h.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(W2h.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M1, Mt), tile2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M1, Mt), tile2, memory_space=pltpu.VMEM),
+            w2spec,
+            w2spec,
             pl.BlockSpec((1, length), const2, memory_space=pltpu.VMEM),
         ],
         out_specs=(out3(), out3(), out3(), out3()),
         out_shape=tuple(jax.ShapeDtypeStruct((na, 1, length), jnp.float32)
                         for _ in range(4)),
+        scratch_shapes=scratch,
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024))),
+            vmem_limit_bytes=127 * 1024 * 1024))),
     )(Pw, xr_g, xi_g, xig, scal, lane(nyq_w[0]), lane(nyq_w[1]),
       lane(nyq_d[0]), lane(nyq_d[1]), jnp.asarray(W1h), jnp.asarray(W1l),
       jnp.asarray(Tr), jnp.asarray(Ti), jnp.asarray(W2h), jnp.asarray(W2l),
@@ -288,7 +478,8 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
 
 
 def cwt_halfband_fused(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d,
-                       keep=None, derivative=True, interpret=None):
+                       keep=None, derivative=True, interpret=None,
+                       tiles=None):
     """Fully fused single-signal CWT core: filterbank multiply
     (Z = psih * xhat), the four-step half-band iFFT, unpad and Nyquist
     correction — one Pallas kernel, no Z materialization in HBM.
@@ -306,6 +497,14 @@ def cwt_halfband_fused(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d,
     M = 2 * K1 * M2
     if keep is None:
         keep = (0, M)
+    if tiles is None:
+        tiles = fused_tiles(M, 2 if derivative else 1)
+        if tiles is None:
+            raise ValueError(f"fused kernel does not support M={M}; "
+                             "check fused_ok(M, pipelines) before calling")
+    elif M2 % tiles:
+        raise ValueError(f"tiles={tiles} must divide M2={M2}")
     return _cwt_fused_call(Pw, xr_g, xi_g, xig, jnp.asarray(inv_dt),
                            nyq_w, nyq_d, M=M, keep=tuple(keep),
-                           derivative=derivative, interpret=interpret)
+                           derivative=derivative, interpret=interpret,
+                           tiles=int(tiles))

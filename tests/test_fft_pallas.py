@@ -35,6 +35,76 @@ def test_fused_ok_gate():
     assert fused_ok(1 << 18)
 
 
+def test_fused_tiles_selection():
+    """Headline sizes stay on the untiled fast path; big M picks the
+    smallest tiling that fits the 100 MB VMEM budget."""
+    from ssqueeze_rs_tpu.ops.fft_pallas import fused_tiles
+    assert fused_tiles(1 << 18, 2) == 1      # headline ssq_cwt size
+    assert fused_tiles(1 << 19, 2) == 1      # ~500k-sample cwt+deriv
+    assert fused_tiles(1 << 20, 2) > 1       # ~1M-sample cwt+deriv
+    assert fused_tiles(1 << 21, 1) > 1       # ~2M-sample batch iFFT
+    # 2^21 with two pipelines exceeds VMEM even at tiles=8: cwt falls
+    # back to the Z-build route + tiled single-pipeline iFFT kernel
+    assert fused_tiles(1 << 21, 2) is None
+    assert fused_tiles(1 << 22, 1) is None   # beyond tiles=8
+
+
+def test_explicit_tiles_must_divide_m2():
+    """tiles that don't divide M2 would silently drop k2 columns
+    (measured 9.6% error before the guard)."""
+    Zr = jnp.zeros((2, 64, 128), jnp.float32)   # M = 2^14, M2 = 128
+    with pytest.raises(ValueError, match="must divide"):
+        ifft_halfband_planar_fused(Zr, Zr, interpret=True, tiles=3)
+
+
+@pytest.mark.parametrize("tiles", [2, 4])
+@pytest.mark.parametrize("keep", [None, (777, 9000)])
+def test_tiled_ifft_matches_untiled(tiles, keep):
+    """k2-tiled kernel (scratch accumulation across grid steps) must
+    reproduce the untiled kernel bit-for-bit up to f32 summation order."""
+    M = 1 << 14
+    M1, M2 = best_split(M)
+    K1 = M1 // 2
+    rng = np.random.default_rng(3)
+    B = 3
+    Zr = jnp.asarray(rng.standard_normal((B, K1, M2)), jnp.float32)
+    Zi = jnp.asarray(rng.standard_normal((B, K1, M2)), jnp.float32)
+    nyr = jnp.asarray(rng.standard_normal(B), jnp.float32)
+    nyi = jnp.asarray(rng.standard_normal(B), jnp.float32)
+    a = ifft_halfband_planar_fused(Zr, Zi, keep=keep, nyq_r=nyr, nyq_i=nyi,
+                                   interpret=True, tiles=1)
+    b = ifft_halfband_planar_fused(Zr, Zi, keep=keep, nyq_r=nyr, nyq_i=nyi,
+                                   interpret=True, tiles=tiles)
+    for p, q in zip(a, b):
+        rel = float(jnp.max(jnp.abs(p - q)) / jnp.max(jnp.abs(p)))
+        assert rel < 2e-6, rel
+
+
+@pytest.mark.parametrize("derivative", [False, True])
+def test_tiled_cwt_matches_untiled(derivative):
+    from ssqueeze_rs_tpu.ops.fft_pallas import cwt_halfband_fused
+    M = 1 << 14
+    M1, M2 = best_split(M)
+    K1 = M1 // 2
+    rng = np.random.default_rng(4)
+    na = 4
+    Pw = jnp.asarray(rng.standard_normal((na, K1, M2)), jnp.float32)
+    xr = jnp.asarray(rng.standard_normal((K1, M2)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((K1, M2)), jnp.float32)
+    xig = jnp.asarray(rng.uniform(0, 3, (K1, M2)), jnp.float32)
+    znyq = jnp.asarray(rng.standard_normal(na), jnp.float32)
+    zeros = jnp.zeros_like(znyq)
+    kw = dict(keep=(100, 9000), derivative=derivative, interpret=True)
+    a = cwt_halfband_fused(Pw, xr, xi, xig, 2.0, (znyq, zeros),
+                           (zeros, znyq), tiles=1, **kw)
+    b = cwt_halfband_fused(Pw, xr, xi, xig, 2.0, (znyq, zeros),
+                           (zeros, znyq), tiles=4, **kw)
+    for p, q in zip(a, b):
+        scale = float(jnp.max(jnp.abs(p))) + 1e-30
+        rel = float(jnp.max(jnp.abs(p - q))) / scale
+        assert rel < 2e-6, rel
+
+
 @pytest.mark.parametrize("derivative", [False, True])
 def test_cwt_fused_matches_zbuild_route(derivative):
     """cwt_halfband_fused (in-VMEM Z multiply) vs explicit Z build + XLA
