@@ -205,6 +205,7 @@ int64_t ssq_prefetch_next(Prefetcher* p, float** buf_out, int64_t* len_out) {
     const int64_t want = p->next_emit;
     int slot = -1;
     p->cv_full.wait(lk, [&] {
+        if (p->stop) return true;  // concurrent stop: unblock, don't deadlock
         for (int s = 0; s < p->depth; ++s)
             if (p->state[s] == 1 && p->slot_chunk[s] == want) {
                 slot = s;
@@ -212,6 +213,7 @@ int64_t ssq_prefetch_next(Prefetcher* p, float** buf_out, int64_t* len_out) {
             }
         return false;
     });
+    if (p->stop && slot < 0) return -1;
     p->next_emit++;
     p->held_slot = slot;
     const int64_t start = want * p->chunk_len;
@@ -220,6 +222,9 @@ int64_t ssq_prefetch_next(Prefetcher* p, float** buf_out, int64_t* len_out) {
     return start;
 }
 
+// Caller contract: no ssq_prefetch_next call may be in flight or issued
+// after stop begins (stop deletes p). A consumer blocked in _next when
+// stop fires is woken and returns -1 before the worker join completes.
 void ssq_prefetch_stop(Prefetcher* p) {
     if (!p) return;
     {
@@ -227,6 +232,7 @@ void ssq_prefetch_stop(Prefetcher* p) {
         p->stop = true;
     }
     p->cv_free.notify_all();
+    p->cv_full.notify_all();  // release any consumer blocked in _next
     if (p->worker.joinable()) p->worker.join();
     delete p;
 }

@@ -101,6 +101,11 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
             else:
                 xp_, n1_ = xx, 0
             sc = jnp.asarray(np.asarray(scales).squeeze(-1), xx.dtype)
+            from ..utils.common import warn_hbm_budget
+            warn_hbm_budget(
+                N, sc.shape[0],
+                batch=int(np.prod(xx.shape[:-1])) if xx.ndim > 1 else 1,
+                derivative=True, what="ssq_cwt")
             from .fft_mxu import use_mxu_fft
             from ..config import use_pallas_kernels
             planes_w, planes_d = cwt_core(

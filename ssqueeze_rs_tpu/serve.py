@@ -139,5 +139,8 @@ class TransformServer:
         n_out = v.shape[-1]
         if n_out == bucket:          # hop 1 / cwt: one column per sample
             return N
-        # hop > 1: proportional trim
-        return int(np.ceil(N / bucket * n_out))
+        # hop > 1: the transform emits one column per hop starting at
+        # sample 0, so a direct transform of length N has exactly
+        # (N-1)//hop + 1 columns (ops/stft.py frame count).
+        hop = int(self.kw.get("hop_len", 1))
+        return min(n_out, (N - 1) // hop + 1)

@@ -21,6 +21,23 @@ def NOTE(msg: str):
     _logger.warning("NOTE: %s", msg)
 
 
+def warn_hbm_budget(N, na, batch=1, derivative=False, what="cwt"):
+    """Friendly heads-up before an opaque device OOM: the working set of a
+    single-shot CWT is ~20 arrays of (na, padded_len) f32 per channel.
+    Shared by cwt() and the planar ssq_cwt fast path (which bypasses
+    cwt())."""
+    import jax
+    from .pad import p2up
+    if jax.default_backend() != "tpu":
+        return
+    est = (20 * int(na) * p2up(int(N))[0] * 4 * int(batch) *
+           (2 if derivative else 1))
+    if est > 14e9:
+        WARN(f"single-shot {what} needs ~{est / 1e9:.0f} GB HBM at "
+             f"N={N}, na={na}, batch={batch}; consider "
+             "parallel.process_recording or parallel.chunked_cwt")
+
+
 def assert_is_one_of(x, name, supported, e=ValueError):
     if x not in supported:
         raise e(f"`{name}` must be one of: {', '.join(map(str, supported))} (got {x})")

@@ -13,6 +13,7 @@ the vmap/broadcast replacement for the reference's per-scale loops
 """
 from __future__ import annotations
 
+import weakref
 from dataclasses import dataclass
 from functools import lru_cache, cached_property
 
@@ -31,6 +32,36 @@ def register_family(name):
         _FAMILIES[name] = builder
         return builder
     return deco
+
+
+def _register_callable(spec) -> str:
+    """Register an ad-hoc psih callable without pinning it forever.
+
+    The registry entry holds only a weakref; a finalizer removes the
+    entry when the callable is garbage-collected, so repeatedly passing
+    throwaway lambdas does not grow `_FAMILIES` (or downstream caches
+    keyed on the Wavelet) without bound. Non-weakref-able callables
+    fall back to a pinned strong reference.
+    """
+    name = f"_custom_{id(spec)}"
+    if name in _FAMILIES:
+        return name
+    try:
+        ref = weakref.ref(spec)
+        weakref.finalize(spec, _FAMILIES.pop, name, None)
+
+        def builder(cfg, _ref=ref):
+            fn = _ref()
+            if fn is None:
+                raise RuntimeError(
+                    "custom wavelet callable was garbage-collected; keep a "
+                    "reference to it while its Wavelet is in use")
+            return lambda w, xp, _fn=fn: _fn(w)
+
+        _FAMILIES[name] = builder
+    except TypeError:
+        _FAMILIES[name] = lambda cfg, _fn=spec: (lambda w, xp: _fn(w))
+    return name
 
 
 @dataclass(frozen=True)
@@ -53,11 +84,7 @@ class Wavelet:
             # fn(w)); registered under a stable per-function family name.
             # The callable must be xp-agnostic (take jnp arrays) to run
             # inside traced transforms.
-            name = f"_custom_{id(spec)}"
-            if name not in _FAMILIES:
-                _FAMILIES[name] = lambda cfg, _fn=spec: (
-                    lambda w, xp: _fn(w))
-            return Wavelet(name, ())
+            return Wavelet(_register_callable(spec), ())
         if isinstance(spec, tuple):
             name, opts = spec
             opts = dict(opts)

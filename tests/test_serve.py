@@ -49,3 +49,17 @@ def test_server_warmup():
     out = srv(np.random.default_rng(3).standard_normal(200))
     assert srv.n_compiled == 4          # no new compiles
     assert out["Wx"].shape[-1] == 200
+
+
+def test_server_hop_exact_column_count():
+    """Served STFT column count equals the direct transform's for hop>1
+    even when hop does not divide the bucket (ADVICE r1: proportional
+    rounding was off by one at e.g. hop=3, bucket=512, N=510)."""
+    from ssqueeze_rs_tpu import stft
+
+    srv = TransformServer("stft", buckets=(512,), n_fft=64, hop_len=3)
+    for N in (510, 511, 512, 333, 100):
+        x = np.random.default_rng(N).standard_normal(N)
+        out = srv(x)
+        direct = np.asarray(stft(x, n_fft=64, hop_len=3))
+        assert out["Sx"].shape[-1] == direct.shape[-1], N

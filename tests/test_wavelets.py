@@ -191,3 +191,21 @@ def test_callable_wavelet():
     # same callable resolves to the same registered family (cache hit)
     assert Wavelet.build(fn) is not Wavelet.build(fn) or True
     assert Wavelet.build(fn).name == Wavelet.build(fn).name
+
+
+def test_callable_wavelet_registry_is_garbage_collected():
+    """Ad-hoc callable wavelets don't pin the family registry forever
+    (ADVICE r1: unbounded _FAMILIES growth on throwaway lambdas)."""
+    import gc
+    from ssqueeze_rs_tpu.wavelets.base import Wavelet, _FAMILIES
+
+    before = len(_FAMILIES)
+    fn = lambda w: np.exp(-(w - 5.0) ** 2)  # noqa: E731
+    wav = Wavelet.build(fn)
+    assert len(_FAMILIES) == before + 1
+    # usable while alive
+    v = wav(np.array([4.0, 5.0]))
+    assert np.isclose(v[1], 1.0)
+    del fn, wav
+    gc.collect()
+    assert len(_FAMILIES) == before
