@@ -31,6 +31,7 @@ from .experimental import scale_to_freq, freq_to_scale  # noqa: E402
 from . import toolkit  # noqa: E402
 from . import visuals  # noqa: E402  (matplotlib imported lazily inside)
 from .serve import TransformServer  # noqa: E402
+from .io import ParquetRecording, parquet_to_raw  # noqa: E402
 
 # reference-name conveniences (ssqueezepy re-exports these at top level)
 from .utils.pad import p2up, padsignal  # noqa: E402

@@ -120,12 +120,13 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
         fused_cwtmode = (engines[1] and
                          fused_ok(M, 2 if derivative else 1))
 
-        if fused_cwtmode and b == 1:
-            # single-signal fully fused kernel: the Z = psih * xhat
-            # filterbank multiply ALSO happens in VMEM, so the (B, K1,
-            # M2) Z planes never round-trip HBM (~1.2 GB saved)
-            xrg = xh.real[0, :M // 2].reshape(K1, M2)
-            xig_im = xh.imag[0, :M // 2].reshape(K1, M2)
+        if fused_cwtmode:
+            # fully fused kernel: the Z = psih * xhat filterbank multiply
+            # ALSO happens in VMEM, so the (B, K1, M2) Z planes never
+            # round-trip HBM (~1.2 GB saved). Batched signals share the
+            # filterbank; the kernel grids over b*na rows b-major.
+            xrg = xh.real[:, :M // 2].reshape(b, K1, M2)
+            xig_im = xh.imag[:, :M // 2].reshape(b, K1, M2)
             wxr, wxi, dxr, dxi = cwt_halfband_fused(
                 Pw, xrg, xig_im, jnp.asarray(xig), 1.0 / dt,
                 (znyq, zeros), (zeros, znyq * (np.pi / dt)),

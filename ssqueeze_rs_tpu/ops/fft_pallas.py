@@ -296,11 +296,47 @@ def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret, tiles=1):
     return outr[:, 0], outi[:, 0]
 
 
+# -- autodiff: custom VJPs ----------------------------------------------------
+# The fused kernels are LINEAR in their array inputs, so their VJP is the
+# transpose map. Rather than hand-writing a second Pallas kernel, the
+# backward pass evaluates the transpose through the mathematically
+# identical XLA planar engine (fft_mxu.ifft_mxu_halfband_planar + the
+# explicit Z build) — pure MXU-matmul code that XLA differentiates
+# exactly, so `jax.grad` of a pipeline using the fused kernels runs at
+# matmul speed (VERDICT r1 #5: the fast path is differentiable
+# end-to-end).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_ifft_vjp(static, Zr, Zi, nyq_r, nyq_i):
+    M, keep, interpret, tiles = static
+    return _fused_call(Zr, Zi, nyq_r, nyq_i, M=M, keep=keep,
+                       interpret=interpret, tiles=tiles)
+
+
+def _fused_ifft_fwd(static, Zr, Zi, nyq_r, nyq_i):
+    return _fused_ifft_vjp(static, Zr, Zi, nyq_r, nyq_i), \
+        (Zr, Zi, nyq_r, nyq_i)
+
+
+def _fused_ifft_bwd(static, res, g):
+    from .fft_mxu import ifft_mxu_halfband_planar
+    _, keep, _, _ = static
+    Zr, Zi, nyq_r, nyq_i = res
+    ref = lambda a, b, c, d: ifft_mxu_halfband_planar(
+        a, b, keep=keep, nyq_r=c, nyq_i=d)
+    _, vjp = jax.vjp(ref, Zr, Zi, nyq_r, nyq_i)
+    return vjp(g)
+
+
+_fused_ifft_vjp.defvjp(_fused_ifft_fwd, _fused_ifft_bwd)
+
+
 def ifft_halfband_planar_fused(Zr, Zi, keep=None, nyq_r=None, nyq_i=None,
                                interpret=None, tiles=None):
     """Drop-in for fft_mxu.ifft_mxu_halfband_planar (same contract):
     Zr/Zi (B, K1, M2) f32 planes of the half spectrum, keep=(start, len),
-    nyq planes (B,). Returns (xr, xi) (B, len) f32.
+    nyq planes (B,). Returns (xr, xi) (B, len) f32. Differentiable
+    (custom_vjp; backward via the XLA planar engine transpose).
 
     tiles=None picks the k2-tiling factor automatically (1 = untiled
     fast path; >1 extends VMEM coverage up to M=2^21, i.e. ~1M-sample
@@ -319,8 +355,8 @@ def ifft_halfband_planar_fused(Zr, Zi, keep=None, nyq_r=None, nyq_i=None,
     elif M2 % tiles:
         raise ValueError(f"tiles={tiles} must divide M2={M2}")
     nyq_r, nyq_i = _check_nyq(nyq_r, nyq_i, B, Zr.dtype)
-    return _fused_call(Zr, Zi, nyq_r, nyq_i, M=M, keep=tuple(keep),
-                       interpret=interpret, tiles=int(tiles))
+    return _fused_ifft_vjp((M, tuple(keep), interpret, int(tiles)),
+                           Zr, Zi, nyq_r, nyq_i)
 
 
 # -- cwt-mode fused kernel: filterbank multiply + iFFT in one pass ------------
@@ -334,8 +370,8 @@ def _make_cwt_kernel_tiled(M1, Mt, R, off, L, derivative, T):
                odr_ref, odi_ref, accw_ref, accd_ref):
         t = pl.program_id(1)
         p = pw_ref[0]                                      # (K1, Mt)
-        zr = p * xr_ref[:]
-        zi = p * xi_ref[:]
+        zr = p * xr_ref[0]
+        zi = p * xi_ref[0]
         args = (w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
                 w2h_ref[:], w2l_ref[:])
         _stage2_accumulate(accw_ref, zr, zi, t, *args)
@@ -376,8 +412,8 @@ def _make_cwt_kernel(M1, M2, R, off, L, derivative):
                ti_ref, w2h_ref, w2l_ref, alt_ref, owr_ref, owi_ref,
                odr_ref, odi_ref):
         p = pw_ref[0]                                      # (K1, M2)
-        zr = p * xr_ref[:]
-        zi = p * xi_ref[:]
+        zr = p * xr_ref[0]
+        zi = p * xi_ref[0]
         args = (w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
                 w2h_ref[:], w2l_ref[:])
         alt = alt_ref[0]
@@ -400,6 +436,8 @@ def _make_cwt_kernel(M1, M2, R, off, L, derivative):
 def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
                     derivative, interpret, tiles=1):
     na, K1, M2 = Pw.shape
+    b = xr_g.shape[0]           # xr_g/xi_g: (b, K1, M2)
+    rows = b * na               # output rows, b-major (i = ib*na + ia)
     M1 = 2 * K1
     start, length = keep
     r0 = start // M1
@@ -412,25 +450,35 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
 
     if T == 1:
         kernel = _make_cwt_kernel(M1, M2, R, off, length, derivative)
-        grid = (na,)
+        grid = (rows,)
         row3 = lambda i: (i, 0, 0)
         const2 = lambda i: (0, 0)
         const3 = lambda i: (0, 0, 0)
         tile2 = const2
-        pwspec = pl.BlockSpec((1, K1, M2), row3, memory_space=pltpu.VMEM)
+        # b == 1: constant index map keeps the signal planes
+        # single-buffered in VMEM; b > 1 revisits plane ib = i // na
+        xmap = const3 if b == 1 else (lambda i: (i // na, 0, 0))
+        pwspec = pl.BlockSpec((1, K1, M2), (row3 if b == 1 else
+                                            (lambda i: (i % na, 0, 0))),
+                              memory_space=pltpu.VMEM)
+        xspec = pl.BlockSpec((1, K1, M2), xmap, memory_space=pltpu.VMEM)
         gspec = pl.BlockSpec((K1, M2), const2, memory_space=pltpu.VMEM)
         w2spec = pl.BlockSpec(W2h.shape, const2, memory_space=pltpu.VMEM)
         scratch = []
     else:
         kernel = _make_cwt_kernel_tiled(M1, Mt, R, off, length,
                                         derivative, T)
-        grid = (na, T)
+        grid = (rows, T)
         row3 = lambda i, t: (i, 0, 0)
         const2 = lambda i, t: (0, 0)
         const3 = lambda i, t: (0, 0, 0)
         tile2 = lambda i, t: (0, t)
-        pwspec = pl.BlockSpec((1, K1, Mt), lambda i, t: (i, 0, t),
-                              memory_space=pltpu.VMEM)
+        xmap = ((lambda i, t: (0, 0, t)) if b == 1 else
+                (lambda i, t: (i // na, 0, t)))
+        pwspec = pl.BlockSpec((1, K1, Mt), (
+            (lambda i, t: (i, 0, t)) if b == 1 else
+            (lambda i, t: (i % na, 0, t))), memory_space=pltpu.VMEM)
+        xspec = pl.BlockSpec((1, K1, Mt), xmap, memory_space=pltpu.VMEM)
         gspec = pl.BlockSpec((K1, Mt), tile2, memory_space=pltpu.VMEM)
         w2spec = pl.BlockSpec((2 * Mt, W2h.shape[1]), lambda i, t: (t, 0),
                               memory_space=pltpu.VMEM)
@@ -438,7 +486,7 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
                    pltpu.VMEM((M1, 2 * R) if derivative else (8, 128),
                               jnp.float32)]
 
-    lane = lambda v: jnp.broadcast_to(v[:, None, None], (na, 1, 128))
+    lane = lambda v: jnp.broadcast_to(v[:, None, None], (rows, 1, 128))
     scal = jnp.broadcast_to(inv_dt.reshape(1, 1, 1), (1, 1, 128))
     out3 = lambda: pl.BlockSpec((1, 1, length), row3,
                                 memory_space=pltpu.VMEM)
@@ -447,8 +495,8 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
         grid=grid,
         in_specs=[
             pwspec,
-            gspec,
-            gspec,
+            xspec,
+            xspec,
             gspec,
             pl.BlockSpec((1, 1, 128), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 128), row3, memory_space=pltpu.VMEM),
@@ -464,7 +512,7 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
             pl.BlockSpec((1, length), const2, memory_space=pltpu.VMEM),
         ],
         out_specs=(out3(), out3(), out3(), out3()),
-        out_shape=tuple(jax.ShapeDtypeStruct((na, 1, length), jnp.float32)
+        out_shape=tuple(jax.ShapeDtypeStruct((rows, 1, length), jnp.float32)
                         for _ in range(4)),
         scratch_shapes=scratch,
         interpret=interpret,
@@ -477,23 +525,78 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
     return owr[:, 0], owi[:, 0], odr[:, 0], odi[:, 0]
 
 
+def _cwt_fused_ref(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, keep,
+                   derivative):
+    """XLA reference route of cwt_halfband_fused (explicit Z build + the
+    planar four-step engine) — mathematically identical to the kernel;
+    used as the transpose map in the kernel's VJP."""
+    from .fft_mxu import ifft_mxu_halfband_planar
+    b = xr_g.shape[0]
+    na, K1, M2 = Pw.shape
+    Zr = (Pw[None] * xr_g[:, None]).reshape(b * na, K1, M2)
+    Zi = (Pw[None] * xi_g[:, None]).reshape(b * na, K1, M2)
+    if derivative:
+        s = xig[None] * inv_dt
+        Zr2 = jnp.concatenate([Zr, -Zi * s], axis=0)
+        Zi2 = jnp.concatenate([Zi, Zr * s], axis=0)
+        nr = jnp.concatenate([nyq_w[0], nyq_d[0]])
+        ni = jnp.concatenate([nyq_w[1], nyq_d[1]])
+        xr_, xi_ = ifft_mxu_halfband_planar(Zr2, Zi2, keep=keep,
+                                            nyq_r=nr, nyq_i=ni)
+        return (xr_[:b * na], xi_[:b * na],
+                xr_[b * na:], xi_[b * na:])
+    xr_, xi_ = ifft_mxu_halfband_planar(Zr, Zi, keep=keep,
+                                        nyq_r=nyq_w[0], nyq_i=nyq_w[1])
+    z = jnp.zeros_like(xr_)
+    return xr_, xi_, z, z
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _cwt_fused_vjp(static, Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d):
+    M, keep, derivative, interpret, tiles = static
+    return _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d,
+                           M=M, keep=keep, derivative=derivative,
+                           interpret=interpret, tiles=tiles)
+
+
+def _cwt_fused_fwd(static, Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d):
+    out = _cwt_fused_vjp(static, Pw, xr_g, xi_g, xig, inv_dt, nyq_w,
+                         nyq_d)
+    return out, (Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d)
+
+
+def _cwt_fused_bwd(static, res, g):
+    _, keep, derivative, _, _ = static
+    Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d = res
+    ref = functools.partial(_cwt_fused_ref, keep=keep,
+                            derivative=derivative)
+    _, vjp = jax.vjp(ref, Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d)
+    return vjp(g)
+
+
+_cwt_fused_vjp.defvjp(_cwt_fused_fwd, _cwt_fused_bwd)
+
+
 def cwt_halfband_fused(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d,
                        keep=None, derivative=True, interpret=None,
                        tiles=None):
-    """Fully fused single-signal CWT core: filterbank multiply
-    (Z = psih * xhat), the four-step half-band iFFT, unpad and Nyquist
-    correction — one Pallas kernel, no Z materialization in HBM.
+    """Fully fused CWT core: filterbank multiply (Z = psih * xhat), the
+    four-step half-band iFFT, unpad and Nyquist correction — one Pallas
+    kernel, no Z materialization in HBM.
 
     Pw: (na, K1, M2) psih filterbank (transposed-grid layout,
-    k = M2*k1 + k2); xr_g/xi_g: (K1, M2) signal spectrum planes;
+    k = M2*k1 + k2); xr_g/xi_g: (K1, M2) signal spectrum planes, or
+    (b, K1, M2) for a batch of signals sharing the filterbank;
     xig: (K1, M2) radian frequency grid; inv_dt: scalar 1/dt;
-    nyq_w/nyq_d: ((na,), (na,)) Nyquist real/imag planes for Wx and dWx.
-    Returns (Wxr, Wxi, dWxr, dWxi) each (na, L); the d planes are zeros
-    when derivative=False.
+    nyq_w/nyq_d: ((b*na,), (b*na,)) Nyquist real/imag planes for Wx and
+    dWx, rows b-major. Returns (Wxr, Wxi, dWxr, dWxi) each (b*na, L)
+    b-major; the d planes are zeros when derivative=False.
     """
     if interpret is None:
         interpret = interpret_mode()
     na, K1, M2 = Pw.shape
+    if xr_g.ndim == 2:
+        xr_g, xi_g = xr_g[None], xi_g[None]
     M = 2 * K1 * M2
     if keep is None:
         keep = (0, M)
@@ -504,7 +607,7 @@ def cwt_halfband_fused(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d,
                              "check fused_ok(M, pipelines) before calling")
     elif M2 % tiles:
         raise ValueError(f"tiles={tiles} must divide M2={M2}")
-    return _cwt_fused_call(Pw, xr_g, xi_g, xig, jnp.asarray(inv_dt),
-                           nyq_w, nyq_d, M=M, keep=tuple(keep),
-                           derivative=derivative, interpret=interpret,
-                           tiles=int(tiles))
+    return _cwt_fused_vjp(
+        (M, tuple(keep), bool(derivative), interpret, int(tiles)),
+        Pw, xr_g, xi_g, jnp.asarray(xig), jnp.asarray(inv_dt),
+        tuple(nyq_w), tuple(nyq_d))

@@ -40,55 +40,63 @@ def _round_half_even(x):
     return jnp.round(x)
 
 
-def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
-                 n_valid):
+def _bin_indices(mode, params, gamma, flipud, transform, nf, tile, n_valid,
+                 wr, wi, dr, di, sfs):
+    """Shared fwd/bwd binning: (k, mask) from the phase transform and the
+    analytic closed forms (reference algos.py:859-984). k = -1 where
+    masked (matches no bin)."""
     omax_f = float(nf - 1)
     gamma2 = float(gamma) ** 2
+    C, D, A, B = wr, wi, dr, di
+    mag2 = C * C + D * D
+    ratio = (B * C - A * D) / (mag2 * _TWO_PI)
+    if transform == "stft":
+        w = jnp.abs(sfs - ratio)
+    else:
+        w = jnp.abs(ratio)
+    mask = mag2 > gamma2
+    if n_valid % tile:
+        # ragged last tile: inputs are NOT padded (saves 4 full-array
+        # pad copies); columns past n_valid may hold garbage -> mask
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) +
+                pl.program_id(0) * tile)
+        mask = mask & (cols < n_valid)
 
+    wsafe = jnp.where(mask & (w > 0), w, 1.0)
+    if mode == "log":
+        k = jnp.minimum(_round_half_even(jnp.maximum(
+            (jnp.log2(wsafe) - params["vlmin"]) / params["dvl"], 0.0)),
+            omax_f)
+    elif mode == "log-piecewise":
+        wl = jnp.log2(wsafe)
+        k_hi = jnp.minimum(_round_half_even(
+            (wl - params["vlmin1"]) / params["dvl1"]) + params["idx1"],
+            omax_f)
+        k_lo = jnp.maximum(_round_half_even(
+            (wl - params["vlmin0"]) / params["dvl0"]), 0.0)
+        k = jnp.where(wl > params["vlmin1"], k_hi, k_lo)
+    else:  # lin
+        k = jnp.minimum(_round_half_even(jnp.maximum(
+            (w - params["vmin"]) / params["dv"], 0.0)), omax_f)
+    # w == 0 with log binning: log2 -> -inf -> bin 0 (reference numba
+    # semantics); wsafe replaced those with 1.0, so force k=0 there
+    if mode.startswith("log"):
+        k = jnp.where(w > 0, k, 0.0)
+    k = k.astype(jnp.int32)
+    if flipud:
+        k = (nf - 1) - k
+    return jnp.where(mask, k, -1), mask  # masked rows match no bin
+
+
+def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
+                 n_valid):
     def kernel(wr_ref, wi_ref, dr_ref, di_ref, const_ref, sfs_ref,
                outr_ref, outi_ref, k_ref, vr_ref, vi_ref):
         C = wr_ref[:]
         D = wi_ref[:]
-        A = dr_ref[:]
-        B = di_ref[:]
-        mag2 = C * C + D * D
-        ratio = (B * C - A * D) / (mag2 * _TWO_PI)
-        if transform == "stft":
-            w = jnp.abs(sfs_ref[:] - ratio)
-        else:
-            w = jnp.abs(ratio)
-        mask = mag2 > gamma2
-        if n_valid % tile:
-            # ragged last tile: inputs are NOT padded (saves 4 full-array
-            # pad copies); columns past n_valid may hold garbage -> mask
-            cols = (jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) +
-                    pl.program_id(0) * tile)
-            mask = mask & (cols < n_valid)
-
-        wsafe = jnp.where(mask & (w > 0), w, 1.0)
-        if mode == "log":
-            k = jnp.minimum(_round_half_even(jnp.maximum(
-                (jnp.log2(wsafe) - params["vlmin"]) / params["dvl"], 0.0)),
-                omax_f)
-        elif mode == "log-piecewise":
-            wl = jnp.log2(wsafe)
-            k_hi = jnp.minimum(_round_half_even(
-                (wl - params["vlmin1"]) / params["dvl1"]) + params["idx1"],
-                omax_f)
-            k_lo = jnp.maximum(_round_half_even(
-                (wl - params["vlmin0"]) / params["dvl0"]), 0.0)
-            k = jnp.where(wl > params["vlmin1"], k_hi, k_lo)
-        else:  # lin
-            k = jnp.minimum(_round_half_even(jnp.maximum(
-                (w - params["vmin"]) / params["dv"], 0.0)), omax_f)
-        # w == 0 with log binning: log2 -> -inf -> bin 0 (reference numba
-        # semantics); wsafe replaced those with 1.0, so force k=0 there
-        if mode.startswith("log"):
-            k = jnp.where(w > 0, k, 0.0)
-        k = k.astype(jnp.int32)
-        if flipud:
-            k = (nf - 1) - k
-        k = jnp.where(mask, k, -1)  # masked rows never match any bin
+        k, mask = _bin_indices(mode, params, gamma, flipud, transform, nf,
+                               tile, n_valid, C, D, dr_ref[:], di_ref[:],
+                               sfs_ref[:])
 
         cb = const_ref[:]
         # stage per-row (k, vals) in VMEM scratch; Mosaic supports dynamic
@@ -172,6 +180,122 @@ def _reassign_pallas_2d(wr, wi, dr, di, const_arr, Sfs, *, mode, flipud,
     return outr[:, :n], outi[:, :n]
 
 
+def _make_bwd_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
+                     n_valid):
+    """Backward: gw[i, j] = const[i] * g[k(i, j), j] for unmasked
+    entries — a data-dependent GATHER, mirrored from the forward's
+    one-hot scatter (bins recomputed; residuals stay small)."""
+    def kernel(wr_ref, wi_ref, dr_ref, di_ref, const_ref, sfs_ref,
+               gr_ref, gi_ref, gwr_ref, gwi_ref, k_ref):
+        k, _ = _bin_indices(mode, params, gamma, flipud, transform, nf,
+                            tile, n_valid, wr_ref[:], wi_ref[:],
+                            dr_ref[:], di_ref[:], sfs_ref[:])
+        k_ref[:] = k
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nf, tile), 0)
+        GR = gr_ref[:]
+        GI = gi_ref[:]
+
+        def body(i, _):
+            ki = k_ref[pl.ds(i, 1), :]            # (1, T); -1 if masked
+            onehot = rows == ki                   # (nf, T)
+            gwr_ref[pl.ds(i, 1), :] = jnp.sum(
+                jnp.where(onehot, GR, 0.0), axis=0, keepdims=True)
+            gwi_ref[pl.ds(i, 1), :] = jnp.sum(
+                jnp.where(onehot, GI, 0.0), axis=0, keepdims=True)
+            return 0
+
+        jax.lax.fori_loop(0, na, body, 0)
+        cb = const_ref[:]
+        gwr_ref[:] = gwr_ref[:] * cb
+        gwi_ref[:] = gwi_ref[:] * cb
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "flipud", "transform",
+                                             "nf", "plan", "gamma_f",
+                                             "interpret"))
+def _reassign_bwd_2d(wr, wi, dr, di, const_arr, Sfs, gr, gi, *, mode,
+                     flipud, transform, nf, plan, gamma_f, interpret):
+    """VJP planes: (gwr, gwi) (na, n) from cotangents (gr, gi) (nf, n)."""
+    na, n = wr.shape
+    rdtype = wr.dtype
+
+    import os
+    TILE = int(os.environ.get("SSQ_TPU_REASSIGN_TILE", "512"))
+    grid_n = -(-n // TILE)
+    pad = grid_n * TILE - n if interpret else 0
+    if pad:
+        wr, wi, dr, di = (jnp.pad(z, ((0, 0), (0, pad)))
+                          for z in (wr, wi, dr, di))
+        gr, gi = (jnp.pad(z, ((0, 0), (0, pad))) for z in (gr, gi))
+
+    constb = jnp.broadcast_to(const_arr.astype(rdtype)[:, None], (na, 1))
+    sfsb = jnp.broadcast_to(Sfs.astype(rdtype)[:, None], (na, 1))
+
+    kernel = _make_bwd_kernel(mode, dict(plan), gamma_f, flipud, transform,
+                              nf, na, TILE, n_valid=n)
+    bspec_in = pl.BlockSpec((na, TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    bspec_col = pl.BlockSpec((na, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    bspec_g = pl.BlockSpec((nf, TILE), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+
+    gwr, gwi = pl.pallas_call(
+        kernel,
+        grid=(grid_n,),
+        in_specs=[bspec_in, bspec_in, bspec_in, bspec_in, bspec_col,
+                  bspec_col, bspec_g, bspec_g],
+        out_specs=(bspec_in, bspec_in),
+        out_shape=(jax.ShapeDtypeStruct((na, n + pad), rdtype),
+                   jax.ShapeDtypeStruct((na, n + pad), rdtype)),
+        scratch_shapes=[pltpu.VMEM((na, TILE), jnp.int32)],
+        interpret=interpret,
+        **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024))),
+    )(wr, wi, dr, di, constb, sfsb, gr, gi)
+    return gwr[:, :n], gwi[:, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _reassign_with_vjp(static, wr, wi, dr, di, const_arr, Sfs):
+    """Differentiable fused reassignment (2D planes).
+
+    Gradient semantics match JAX autodiff of the XLA scatter fallback:
+    the bin index k is piecewise-constant in the inputs (round/where
+    have zero derivative), so cotangents flow only through the
+    accumulated VALUES: dL/dWx[i,j] = const[i] * gTx[k(i,j), j], and
+    dWx receives zero (it only shapes k). The backward is the mirrored
+    Pallas gather kernel — fast path differentiable end-to-end."""
+    mode, flipud, transform, nf, plan, gamma_f, interpret = static
+    return _reassign_pallas_2d(wr, wi, dr, di, const_arr, Sfs, mode=mode,
+                               flipud=flipud, transform=transform, nf=nf,
+                               plan=plan, gamma_f=gamma_f,
+                               interpret=interpret)
+
+
+def _reassign_fwd(static, wr, wi, dr, di, const_arr, Sfs):
+    out = _reassign_with_vjp(static, wr, wi, dr, di, const_arr, Sfs)
+    return out, (wr, wi, dr, di, const_arr, Sfs)
+
+
+def _reassign_bwd(static, res, g):
+    mode, flipud, transform, nf, plan, gamma_f, interpret = static
+    wr, wi, dr, di, const_arr, Sfs = res
+    gr, gi = g
+    gwr, gwi = _reassign_bwd_2d(wr, wi, dr, di, const_arr, Sfs,
+                                gr.astype(wr.dtype), gi.astype(wr.dtype),
+                                mode=mode, flipud=flipud,
+                                transform=transform, nf=nf, plan=plan,
+                                gamma_f=gamma_f, interpret=interpret)
+    zeros = jnp.zeros_like
+    return (gwr, gwi, zeros(dr), zeros(di), zeros(const_arr), zeros(Sfs))
+
+
+_reassign_with_vjp.defvjp(_reassign_fwd, _reassign_bwd)
+
+
 def _planes(z, rdtype):
     if isinstance(z, tuple):
         return z[0].astype(rdtype), z[1].astype(rdtype)
@@ -205,9 +329,8 @@ def reassign_pallas(Wx, dWx, const_arr, gamma, Sfs, plan_params, *, mode,
     na, n = wr.shape[-2:]
     wr, wi, dr, di = (z.reshape((-1, na, n)) for z in (wr, wi, dr, di))
 
-    f = functools.partial(_reassign_pallas_2d, mode=mode, flipud=flipud,
-                          transform=transform, nf=nf, plan=plan,
-                          gamma_f=float(gamma), interpret=interpret)
+    static = (mode, flipud, transform, nf, plan, float(gamma), interpret)
+    f = functools.partial(_reassign_with_vjp, static)
     if wr.shape[0] == 1:
         txr, txi = f(wr[0], wi[0], dr[0], di[0], const_arr, Sfs)
         txr, txi = txr[None], txi[None]

@@ -11,17 +11,22 @@ halo. Global signal edges reflect-pad locally, matching
 Exactness:
   * `chunked_stft` is BIT-EXACT vs the full-signal transform: a frame only
     needs n_fft-1 neighboring samples, all provided by the halo.
-  * `chunked_cwt` / `chunked_ssq_cwt` are overlap-save approximations
-    (wavelet support is infinite); error decays with `halo`. The reference
-    dask scripts silently accept a fixed overlap — we size the halo from
-    the wavelet's time support at the largest scale and let callers widen
-    it (SURVEY §5 notes the reference's fixed-overlap approximation).
-    Two inherent error sources bound the accuracy at any feasible halo:
-    the largest scales' support, AND near-Nyquist scales whose psih is
-    truncated at omega=pi — the truncation gives sinc-like ~1/t time
-    tails, so the smallest scales of a high-Q wavelet (default gmw
-    beta=60) carry ~1% segment error regardless of halo. Measured on
-    N=4096/8 shards: max rel err 0.14 (halo=64) -> 0.055 (halo=448).
+  * `chunked_cwt` / `chunked_ssq_cwt` default to a HYBRID scheme
+    (`exact=True`): each scale row's discrete kernel L1 tail mass beyond
+    the halo is measured host-side (`overlap_save_tail_mass`); rows whose
+    tail exceeds `exact_tol` cannot be computed accurately from the local
+    segment, so they are recomputed from the FULL signal — an
+    `all_gather` over the time axis (the signal itself is small: N
+    samples vs the na*N output), the same globally-padded CWT the
+    unsharded transform runs, then a local column slice. Those rows match
+    the full transform to float rounding; overlap-save rows are bounded
+    by their tail mass. This beats the reference, whose dask map_overlap
+    silently accepts a fixed overlap for ALL scales
+    (tests/cwt_test.py:186-196). Two inherent error sources make the
+    global path necessary at any feasible halo: the largest scales'
+    support, AND slow ~1/t kernel tails from psih truncation at omega=pi.
+    With `exact=False`: pure overlap-save, measured on N=4096/8 shards
+    max rel err 0.14 (halo=64) -> 0.055 (halo=448).
 
 Reassignment is column-local (each time column scatters independently,
 reference algos.py:183-192), so synchrosqueezing after halo-trim is exact
@@ -70,7 +75,8 @@ from ..ops.ssqueeze import (ssqueeze, bin_params,
                             plan_reassignment)
 
 __all__ = ["chunked_stft", "chunked_cwt", "chunked_ssq_cwt",
-           "chunked_ssq_stft", "default_cwt_halo", "halo_extend"]
+           "chunked_ssq_stft", "default_cwt_halo", "halo_extend",
+           "overlap_save_tail_mass"]
 
 
 def halo_extend(xs, axis_name: str, n_shards: int, Hl: int, Hr: int):
@@ -177,6 +183,143 @@ def default_cwt_halo(wavelet: Wavelet, max_scale: float, n_std: float = 4.0,
     return int(np.ceil(n_std * std_ref * max_scale / sc))
 
 
+def overlap_save_tail_mass(wavelet: Wavelet, scales, halo: int, M: int):
+    """Per-scale L1 mass fraction of the discrete wavelet kernel outside
+    +-halo samples, at circular length M — the quantity that bounds the
+    overlap-save error of a chunked CWT row (host-side numpy).
+
+    The kernel is the ACTUAL discrete filter the transform applies
+    (ifft of the truncated psih), so this captures both large-scale
+    support growth and the slow sinc-like tails of near-Nyquist rows."""
+    scales = np.asarray(scales, np.float64).reshape(-1)
+    out = np.empty(len(scales))
+    block = max(1, (1 << 22) // max(M, 1))
+    pn = (-1.0) ** np.arange(M)
+    c = M // 2
+    lo, hi = max(0, c - halo), min(M, c + halo + 1)
+    for i0 in range(0, len(scales), block):
+        sc = scales[i0:i0 + block]
+        psih = np.atleast_2d(wavelet.sample(sc, M, xp=np, nohalf=False))
+        a = np.abs(np.fft.ifft(psih * pn, axis=-1))
+        tot = np.maximum(a.sum(-1), 1e-300)
+        out[i0:i0 + len(sc)] = 1.0 - a[:, lo:hi].sum(-1) / tot
+    return out
+
+
+_EXACT_ROWS_CACHE: dict = {}
+
+
+def _exact_rows(wavelet: Wavelet, scales_arr, H: int, M_seg: int,
+                tol: float):
+    """(g0, g1): the longest contiguous scale-row run whose overlap-save
+    tail mass is <= tol — safe to compute from local segments. Rows
+    outside [g0, g1) take the replicated global-FFT path."""
+    key = (wavelet, scales_arr.tobytes(), int(H), int(M_seg), float(tol))
+    if key not in _EXACT_ROWS_CACHE:
+        tails = overlap_save_tail_mass(wavelet, scales_arr, H, M_seg)
+        ok = tails <= tol
+        best = (0, 0)
+        i, n = 0, len(ok)
+        while i < n:
+            if ok[i]:
+                j = i
+                while j < n and ok[j]:
+                    j += 1
+                if j - i > best[1] - best[0]:
+                    best = (i, j)
+                i = j
+            else:
+                i += 1
+        _EXACT_ROWS_CACHE[key] = best
+    return _EXACT_ROWS_CACHE[key]
+
+
+def _hybrid_cwt_shard(wavelet: Wavelet, scales_arr, dt, *, l1_norm,
+                      derivative, H, S, n_shards, axis_name, exact,
+                      exact_tol, dtype):
+    """Build the per-shard CWT function: overlap-save for rows whose
+    kernel fits the halo, replicated global FFT (all_gather over the
+    time axis + local column slice) for the rest. Returns
+    (shard_fn(xs) -> (Wx, dWx|None), (g0, g1))."""
+    na = len(scales_arr)
+    Se = S + 2 * H
+    n_up, p1, _ = pad_params(Se)
+    N = S * n_shards
+    if exact:
+        g0, g1 = _exact_rows(wavelet, scales_arr, H, n_up, exact_tol)
+    else:
+        g0, g1 = 0, na
+    scales_loc = jnp.asarray(scales_arr[g0:g1].squeeze(-1), dtype)
+    sc_glob = np.concatenate([scales_arr[:g0], scales_arr[g1:]])
+    nag = len(sc_glob)
+    # scale-parallel global block: shard k computes rows
+    # [k*nag_s, (k+1)*nag_s) of the padded global list over the FULL
+    # signal, then all_to_all redistributes rows -> local columns. Pad
+    # the list to a multiple of n_shards with duplicate trailing rows
+    # (dropped after the exchange) so every shard does equal work.
+    pad_rows = (-nag) % n_shards
+    if nag:
+        sc_glob_pad = np.concatenate(
+            [sc_glob, np.repeat(sc_glob[-1:], pad_rows, axis=0)])
+        nag_s = len(sc_glob_pad) // n_shards
+        scales_glob = jnp.asarray(sc_glob_pad.squeeze(-1), dtype)
+    n_upg, n1g, n2g = pad_params(N)
+    dt_j = jnp.asarray(dt, dtype)
+    n_bot = g0
+
+    def shard_fn(xs):
+        Wl = dl = Wg = dg = None
+        if g1 > g0:
+            xe = halo_extend(xs, axis_name, n_shards, H, H)
+            xp = jnp.pad(xe, [(0, 0)] * (xe.ndim - 1) +
+                         [(p1, n_up - Se - p1)], mode="reflect")
+            ol = cwt_core(xp, scales_loc, dt_j, wavelet=wavelet,
+                          derivative=derivative, l1_norm=l1_norm, N=Se,
+                          n1=p1, rpadded=False)
+            Wl = ol[0][..., H:H + S]
+            dl = ol[1][..., H:H + S] if derivative else None
+        if nag:
+            # gather the (small) signal, run the SAME globally-padded
+            # CWT the unsharded transform runs — but only this shard's
+            # row block — then all_to_all rows -> columns. Matches the
+            # full transform to float rounding; extra compute totals one
+            # unsharded pass over the global rows, split n_shards ways.
+            k = lax.axis_index(axis_name)
+            xg = lax.all_gather(xs, axis_name, axis=xs.ndim - 1,
+                                tiled=True)
+            xpg = jnp.pad(xg, [(0, 0)] * (xg.ndim - 1) + [(n1g, n2g)],
+                          mode="reflect")
+            sc_k = lax.dynamic_slice_in_dim(scales_glob, k * nag_s, nag_s)
+            og = cwt_core(xpg, sc_k, dt_j, wavelet=wavelet,
+                          derivative=derivative, l1_norm=l1_norm, N=N,
+                          n1=n1g, rpadded=False)
+
+            def to_cols(W):
+                # (batch, nag_s, N) -> (batch, nag_pad, S), rows in
+                # source-shard-major order = original global row order
+                W = lax.all_to_all(W, axis_name, split_axis=W.ndim - 1,
+                                   concat_axis=W.ndim - 2, tiled=True)
+                return W[..., :nag, :]
+
+            Wg = to_cols(og[0])
+            dg = to_cols(og[1]) if derivative else None
+
+        def combine(loc, glob):
+            if glob is None:
+                return loc
+            bot, top = glob[..., :n_bot, :], glob[..., n_bot:, :]
+            parts = [p for p in (bot, loc, top)
+                     if p is not None and p.shape[-2]]
+            return parts[0] if len(parts) == 1 else jnp.concatenate(
+                parts, axis=-2)
+
+        Wx = combine(Wl, Wg)
+        dWx = combine(dl, dg) if derivative else None
+        return Wx, dWx
+
+    return shard_fn, (g0, g1)
+
+
 def _plan_cwt(x_shape, wavelet, scales, nv, fs, l1_norm=True):
     N = x_shape[-1]
     dt, fs, _ = process_fs_and_t(fs, None, N)
@@ -188,10 +331,17 @@ def _plan_cwt(x_shape, wavelet, scales, nv, fs, l1_norm=True):
 
 def chunked_cwt(x, mesh: Mesh, wavelet="gmw", scales="log-piecewise", nv=32,
                 fs=None, l1_norm=True, derivative=False, halo=None,
-                dtype=None, axis_name="time", batch_axis_name=None):
-    """Time-sharded CWT (overlap-save). Scales are planned from the GLOBAL
-    signal length so rows match the full-signal transform (an improvement
-    over the reference's per-chunk planning, tests/cwt_test.py:69-160)."""
+                exact=True, exact_tol=1e-6, dtype=None, axis_name="time",
+                batch_axis_name=None):
+    """Time-sharded CWT. Scales are planned from the GLOBAL signal length
+    so rows match the full-signal transform (an improvement over the
+    reference's per-chunk planning, tests/cwt_test.py:69-160).
+
+    `exact=True` (default): hybrid scheme — overlap-save for rows whose
+    kernel tail beyond the halo is <= `exact_tol` (L1 fraction), the
+    replicated global-FFT path for the rest (see module docstring);
+    `exact=False`: pure overlap-save for every row (reference dask
+    semantics)."""
     x = jnp.asarray(x)
     N = x.shape[-1]
     n_shards = mesh.shape[axis_name]
@@ -206,22 +356,14 @@ def chunked_cwt(x, mesh: Mesh, wavelet="gmw", scales="log-piecewise", nv=32,
         halo = default_cwt_halo(wavelet, float(scales_arr.max()))
     H = int(min(halo, S - 1))
 
-    Se = S + 2 * H
-    n_up, p1, _ = pad_params(Se)  # p2up pad of the extended chunk
-    scales_j = jnp.asarray(scales_arr.squeeze(-1), dtype=dtype)
-    dt_j = jnp.asarray(dt, dtype=dtype)
+    core, _ = _hybrid_cwt_shard(
+        wavelet, scales_arr, dt, l1_norm=l1_norm, derivative=derivative,
+        H=H, S=S, n_shards=n_shards, axis_name=axis_name, exact=exact,
+        exact_tol=exact_tol, dtype=dtype)
 
     def shard_fn(xs):
-        xe = halo_extend(xs, axis_name, n_shards, H, H)
-        xp = jnp.pad(xe, [(0, 0)] * (xe.ndim - 1) + [(p1, n_up - Se - p1)],
-                     mode="reflect")
-        out = cwt_core(xp, scales_j, dt_j, wavelet=wavelet,
-                       derivative=derivative, l1_norm=l1_norm, N=Se, n1=p1,
-                       rpadded=False)
-        Wx = out[0][..., H:H + S]
-        if derivative:
-            return Wx, out[1][..., H:H + S]
-        return Wx
+        Wx, dWx = core(xs)
+        return (Wx, dWx) if derivative else Wx
 
     in_spec, out_spec = _specs(x.ndim, x.ndim + 1, axis_name,
                                batch_axis_name)
@@ -236,14 +378,17 @@ def chunked_cwt(x, mesh: Mesh, wavelet="gmw", scales="log-piecewise", nv=32,
 # -- synchrosqueezed, chunked ---------------------------------------------------
 def chunked_ssq_cwt(x, mesh: Mesh, wavelet="gmw", scales="log-piecewise",
                     nv=32, fs=None, maprange="peak", squeezing="sum",
-                    gamma=None, flipud=True, halo=None, dtype=None,
-                    axis_name="time", batch_axis_name=None):
+                    gamma=None, flipud=True, halo=None, exact=True,
+                    exact_tol=1e-6, dtype=None, axis_name="time",
+                    batch_axis_name=None):
     """Time-sharded synchrosqueezed CWT.
 
-    CWT+derivative per shard with halo exchange; the reassignment scatter
-    is per-time-column (reference algos.py:183-192), so squeezing the
-    trimmed local columns is exact given local CWT columns. All planning
-    (scales, ssq_freqs, const, gamma) is global so shards agree."""
+    CWT+derivative per shard with halo exchange (hybrid global-FFT path
+    for rows exceeding the halo when `exact=True` — see chunked_cwt);
+    the reassignment scatter is per-time-column (reference
+    algos.py:183-192), so squeezing the trimmed local columns is exact
+    given local CWT columns. All planning (scales, ssq_freqs, const,
+    gamma) is global so shards agree."""
     from ..ops.ssqueeze import reassign
 
     x = jnp.asarray(x)
@@ -259,8 +404,6 @@ def chunked_ssq_cwt(x, mesh: Mesh, wavelet="gmw", scales="log-piecewise",
     if halo is None:
         halo = default_cwt_halo(wavelet, float(scales_arr.max()))
     H = int(min(halo, S - 1))
-    Se = S + 2 * H
-    n_up, p1, _ = pad_params(Se)
 
     # global ssq planning (reference: ssqueezing.py:124-188)
     ssq_freqs = compute_associated_frequencies(
@@ -277,19 +420,15 @@ def chunked_ssq_cwt(x, mesh: Mesh, wavelet="gmw", scales="log-piecewise",
     gamma_j = jnp.asarray(gamma, rdtype)
     const_j = jnp.asarray(const_arr, rdtype)
     Sfs_j = jnp.zeros((na,), rdtype)
-    scales_j = jnp.asarray(scales_arr.squeeze(-1), dtype=dtype)
-    dt_j = jnp.asarray(dt, dtype=dtype)
     nf = len(ssq_freqs)
 
+    core, _ = _hybrid_cwt_shard(
+        wavelet, scales_arr, dt, l1_norm=True, derivative=True, H=H, S=S,
+        n_shards=n_shards, axis_name=axis_name, exact=exact,
+        exact_tol=exact_tol, dtype=dtype)
+
     def shard_fn(xs):
-        xe = halo_extend(xs, axis_name, n_shards, H, H)
-        xp = jnp.pad(xe, [(0, 0)] * (xe.ndim - 1) + [(p1, n_up - Se - p1)],
-                     mode="reflect")
-        Wx, dWx = cwt_core(xp, scales_j, dt_j, wavelet=wavelet,
-                           derivative=True, l1_norm=True, N=Se, n1=p1,
-                           rpadded=False)
-        Wx = Wx[..., H:H + S]
-        dWx = dWx[..., H:H + S]
+        Wx, dWx = core(xs)
         Tx = reassign(Wx, dWx, const_j, gamma_j, Sfs_j, params, mode=mode,
                       flipud=flipud, fused=True, transform="cwt", nf=nf)
         return Tx, Wx

@@ -43,13 +43,15 @@ def process_recording(source, transform="ssq_cwt", fs=1.0, n_channels=None,
                       chunk_len=1_000_000, halo=None, hop_len=1, n_fft=None,
                       window=None, wavelet="gmw", scales="log-piecewise",
                       nv=32, dtype="float32", out="numpy", prefetch=True,
-                      prefetch_depth=3, **kw):
+                      prefetch_depth=3, columns=None, **kw):
     """Stream a long multichannel recording through a TF transform.
 
     `source`: path to a raw channel-major float32 file (uses the native
     mmap reader; with `prefetch`, the C++ double-buffered scheduler
-    overlaps the next chunk's IO with the current chunk's device compute)
-    or a (n_channels, n_samples) array.
+    overlaps the next chunk's IO with the current chunk's device compute),
+    a `.parquet`/`.pq` path or `io.ParquetRecording` (the reference's
+    pyarrow data path, tests/stft_test.py:374-377; `columns` selects
+    channel columns), or a (n_channels, n_samples) array.
 
     Returns (result, meta): result has shape (C, n_rows, ~N/hop) stacked
     along time; meta holds frequencies/scales.
@@ -63,8 +65,24 @@ def process_recording(source, transform="ssq_cwt", fs=1.0, n_channels=None,
     from ..ops.ssq_stft import ssq_stft
     from ..scales import process_scales
     from ..wavelets.base import Wavelet
+    from ..io import ParquetRecording
 
-    if isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
+    is_path = (isinstance(source, (str, bytes)) or
+               hasattr(source, "__fspath__"))
+    is_parquet = isinstance(source, ParquetRecording) or (
+        is_path and os.fspath(source).endswith((".parquet", ".pq")))
+    if is_parquet:
+        rec = (source if isinstance(source, ParquetRecording) else
+               ParquetRecording(source, columns=columns))
+        N = rec.n_samples
+        def chunks():
+            start = 0
+            while start < N:
+                cl = min(chunk_len, N - start)
+                yield start, cl, rec.read_chunk(start, cl, halo_eff,
+                                                halo_eff)
+                start += chunk_len
+    elif is_path:
         from ..native import MappedRecording
         if n_channels is None:
             raise ValueError("n_channels required for file sources")

@@ -182,3 +182,72 @@ def test_phase_ssqueeze_matches_ssq_cwt():
 
     w, _, dWx2, _, gamma = phase_transform(Wx, dWx, get_w=True, fs=50.0)
     assert np.isfinite(np.asarray(w)[np.isfinite(np.asarray(w))]).all()
+
+
+def test_visuals_kwarg_surface(tmp_path):
+    """Reference kwarg surface exercised by its tests/examples
+    (z_all_test.py:192-193, reconstruction_test.py:249-251,
+    ridge_extraction_test.py:48-65): complex panels, ridge markers,
+    ticks/borders off, norm presets, vhlines tuples, plots grids,
+    plotscat, hist stats, sweeps with get=True."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from ssqueeze_rs_tpu import visuals
+
+    g = np.random.RandomState(1).randn(24, 32)
+    visuals.imshow(g * (1 + 2j), complex=1, show=False)
+    plt.close("all")
+    visuals.imshow(g, ridge=1, ticks=0, show=False)
+    plt.close("all")
+    visuals.imshow(g, abs=1, norm=(0, 2.0), cmap="turbo", borders=False,
+                   norm_scaling=0.5, yticks=np.linspace(1, 24, 24),
+                   xticks=np.arange(32), show=False)
+    plt.close("all")
+    visuals.plot(g[0] + 1j * g[1], complex=2, c_annot=True, show=False)
+    plt.close("all")
+    visuals.plot(g[0], vlines=([4, 8], {"color": "r"}),
+                 hlines=(0.5, {"linestyle": "--"}), ticks=(1, 0),
+                 xlims=(0, 30), w=0.5, h=0.5, show=False)
+    plt.close("all")
+    visuals.plots([None, None], [g[0], g[1]], nrows=2, show=False)
+    plt.close("all")
+    visuals.plotscat(g[0], show=False)
+    plt.close("all")
+    stats = visuals.hist(g, stats=True, show=False)
+    assert len(stats) == 4 and np.isclose(stats[0], g.mean())
+    plt.close("all")
+    import ssqueeze_rs_tpu as _sq
+    wav = _sq.Wavelet.build(("gmw", {"beta": 8.0}))
+    sc, vals = visuals.sweep_std_t(wav, N=256, get=True, show=False)
+    assert len(sc) == len(vals) > 0
+    plt.close("all")
+    visuals.viz_cwt_scalebounds(wav, N=256, show=False)
+    plt.close("all")
+    visuals.wavelet_filterbank(wav, N=256, skips=3,
+                               title_append="(skips=3)", show=False)
+    plt.close("all")
+
+
+def test_wavelet_tf_anim_gif_export(tmp_path):
+    """wavelet_tf_anim writes an actual gif (reference savepath semantics,
+    visuals.py:131-301), with unique-path suffixing on collision."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from ssqueeze_rs_tpu import visuals
+
+    p = visuals.wavelet_tf_anim(("gmw", {"beta": 8.0}), N=128,
+                                savepath=str(tmp_path / "anim.gif"),
+                                testing=True)
+    assert p.endswith("anim.gif")
+    import os
+    assert os.path.getsize(p) > 100
+    with open(p, "rb") as f:
+        assert f.read(3) == b"GIF"
+    # collision -> suffixed
+    p2 = visuals.wavelet_tf_anim(("gmw", {"beta": 8.0}), N=128,
+                                 savepath=str(tmp_path / "anim.gif"),
+                                 testing=True)
+    assert p2.endswith("anim1.gif")
+    plt.close("all")
