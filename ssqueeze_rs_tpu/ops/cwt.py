@@ -333,7 +333,7 @@ def icwt(Wx, wavelet="gmw", scales="log-piecewise", nv=None, one_int=True,
          x_len=None, x_mean=0, padtype="reflect", rpadded=False, l1_norm=True):
     """Inverse CWT via one- or two-integral formula
     (reference parity: _cwt.py:321-492). Supports leading batch dims for
-    `one_int=True`."""
+    both integral forms (the reference is 1D-only here, _cwt.py:344)."""
     Wx = jnp.asarray(Wx)
     *_, na, n = Wx.shape
     x_len = x_len or n
@@ -358,8 +358,6 @@ def icwt(Wx, wavelet="gmw", scales="log-piecewise", nv=None, one_int=True,
     if one_int:
         x = _icwt_1int(Wx, scales_1d, scaletype, l1_norm)
     else:
-        if Wx.ndim > 2:
-            raise NotImplementedError("batched `Wx` requires `one_int=True`.")
         x = _icwt_2int(Wx, scales_1d, scaletype, l1_norm, wavelet, x_len,
                        padtype, rpadded)
 

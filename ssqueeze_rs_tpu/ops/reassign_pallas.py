@@ -88,8 +88,17 @@ def _bin_indices(mode, params, gamma, flipud, transform, nf, tile, n_valid,
     return jnp.where(mask, k, -1), mask  # masked rows match no bin
 
 
+def _skip_mode() -> str:
+    """gamma-sparsity skip strategy (measured on-chip; see DESIGN.md):
+    '0' = none, 'row' = per-row @pl.when (skip rows whose tile columns
+    are all masked), 'tile' = whole-tile skip only. Read at trace time —
+    A/B only in separate processes."""
+    import os
+    return os.environ.get("SSQ_TPU_REASSIGN_SKIP", "0")
+
+
 def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
-                 n_valid):
+                 n_valid, skip="0"):
     def kernel(wr_ref, wi_ref, dr_ref, di_ref, const_ref, sfs_ref,
                outr_ref, outi_ref, k_ref, vr_ref, vi_ref):
         C = wr_ref[:]
@@ -114,14 +123,41 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
         # compare->convert->FMA, 2-row groups in vregs, dual accumulator
         # chains, 4x unroll — all within noise or slower; the loop is at
         # the VPU's one-hot throughput floor ~na*nf*tile*5 ops)
-        def body(i, _):
-            ki = k_ref[pl.ds(i, 1), :]    # (1, T)
-            onehot = rows == ki
-            outr_ref[:] += jnp.where(onehot, vr_ref[pl.ds(i, 1), :], 0.0)
-            outi_ref[:] += jnp.where(onehot, vi_ref[pl.ds(i, 1), :], 0.0)
-            return 0
+        if skip == "row":
+            # gamma-sparsity: rows fully below gamma in this tile (k all
+            # -1) contribute nothing — branch them out. Wins when the
+            # signal has silent/sub-gamma scale bands; costs one scalar
+            # reduce + branch per row when dense.
+            def body(i, _):
+                ki = k_ref[pl.ds(i, 1), :]    # (1, T)
 
-        jax.lax.fori_loop(0, na, body, 0)
+                @pl.when(jnp.max(ki) >= 0)
+                def _():
+                    onehot = rows == ki
+                    outr_ref[:] += jnp.where(onehot,
+                                             vr_ref[pl.ds(i, 1), :], 0.0)
+                    outi_ref[:] += jnp.where(onehot,
+                                             vi_ref[pl.ds(i, 1), :], 0.0)
+                return 0
+
+            jax.lax.fori_loop(0, na, body, 0)
+        else:
+            def body(i, _):
+                ki = k_ref[pl.ds(i, 1), :]    # (1, T)
+                onehot = rows == ki
+                outr_ref[:] += jnp.where(onehot, vr_ref[pl.ds(i, 1), :],
+                                         0.0)
+                outi_ref[:] += jnp.where(onehot, vi_ref[pl.ds(i, 1), :],
+                                         0.0)
+                return 0
+
+            loop = lambda: jax.lax.fori_loop(0, na, body, 0)
+            if skip == "tile":
+                @pl.when(jnp.max(k_ref[:]) >= 0)
+                def _():
+                    loop()
+            else:
+                loop()
 
     return kernel
 
@@ -151,7 +187,7 @@ def _reassign_pallas_2d(wr, wi, dr, di, const_arr, Sfs, *, mode, flipud,
 
     params = dict(plan)
     kernel = _make_kernel(mode, params, gamma_f, flipud, transform, nf, na,
-                          TILE, n_valid=n)
+                          TILE, n_valid=n, skip=_skip_mode())
 
     grid = (grid_n,)
     bspec_in = pl.BlockSpec((na, TILE), lambda i: (0, i),

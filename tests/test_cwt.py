@@ -116,3 +116,21 @@ def test_cwt_higher_order():
     b = np.abs(np.asarray(Wavg)).ravel()
     assert not np.allclose(a, b)
     assert np.corrcoef(a, b)[0, 1] > 0.9
+
+
+def test_icwt_two_integral_batched():
+    """Batched two-integral icwt == per-row (VERDICT r1 weak #5)."""
+    from ssqueeze_rs_tpu import cwt, icwt
+
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((3, 512))
+    wav = ("gmw", {"beta": 8.0})
+    Wx, sc = cwt(X, wav, scales="log", dtype="float64")
+    xb = np.asarray(icwt(Wx, wav, scales=np.asarray(sc).reshape(-1, 1),
+                         one_int=False, x_len=512))
+    assert xb.shape == X.shape
+    for i in range(3):
+        xi = np.asarray(icwt(np.asarray(Wx)[i], wav,
+                             scales=np.asarray(sc).reshape(-1, 1),
+                             one_int=False, x_len=512))
+        assert np.allclose(xb[i], xi, atol=1e-12)

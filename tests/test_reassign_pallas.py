@@ -105,3 +105,44 @@ def test_pallas_stft_mode():
         gamma, jnp.asarray(Sfs), params, mode=mode, flipud=False,
         transform="stft", nf=na, interpret=True))
     assert np.abs(out - ref).sum() / np.abs(ref).sum() < 1e-4
+
+
+import pytest
+
+
+@pytest.mark.parametrize("skip", ["row", "tile"])
+def test_skip_variants_match_baseline(monkeypatch, skip):
+    """gamma-sparsity skip modes are output-identical to the baseline
+    kernel (they only branch out all-masked work)."""
+    import jax
+    import jax.numpy as jnp
+    from ssqueeze_rs_tpu.ops.reassign_pallas import reassign_pallas
+    from ssqueeze_rs_tpu.ops.ssqueeze import plan_reassignment
+
+    rng = np.random.default_rng(5)
+    na, n = 16, 700
+    nf = na
+    ssq_freqs = 0.01 * 2.0 ** (np.arange(na) / 4)
+    const_arr, mode, params = plan_reassignment(
+        ssq_freqs, na, True, transform="cwt", cwt_scaletype="log", nv=4,
+        scales=ssq_freqs.reshape(-1, 1))
+    Wx = (rng.standard_normal((na, n)) + 1j * rng.standard_normal((na, n)))
+    dWx = (rng.standard_normal((na, n)) + 1j * rng.standard_normal((na, n)))
+    # force sub-gamma rows so the skip actually triggers
+    Wx[3:7] *= 1e-12
+    Wx[12:] *= 1e-12
+    gamma = 1e-6
+    const_j = jnp.asarray(const_arr)
+    Sfs = jnp.zeros(na)
+    kw = dict(mode=mode, flipud=True, transform="cwt", nf=nf,
+              interpret=True)
+
+    base = np.asarray(reassign_pallas(jnp.asarray(Wx), jnp.asarray(dWx),
+                                      const_j, gamma, Sfs, params, **kw))
+    monkeypatch.setenv("SSQ_TPU_REASSIGN_SKIP", skip)
+    jax.clear_caches()   # env flag is baked into the traced kernel
+    got = np.asarray(reassign_pallas(jnp.asarray(Wx), jnp.asarray(dWx),
+                                     const_j, gamma, Sfs, params, **kw))
+    monkeypatch.delenv("SSQ_TPU_REASSIGN_SKIP")
+    jax.clear_caches()
+    assert np.array_equal(got, base)

@@ -1,0 +1,65 @@
+"""A/B bench of the reassignment kernel's gamma-sparsity skip variants.
+
+Env flags are read at trace time (jit caches ignore them), so each
+variant MUST run in its own process:
+
+    for s in 0 row tile; do for sig in noise tone; do
+      SSQ_TPU_REASSIGN_SKIP=$s python tools/bench_reassign.py $sig
+    done; done
+
+`noise` = dense input (every row above gamma everywhere);
+`tone`   = pure 100-bin tone (most rows sub-gamma -> sparsity wins);
+`tone_g` = tone with gamma raised to 1e-3*max (denoising setting).
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ssqueeze_rs_tpu import ssq_cwt, Wavelet
+    from ssqueeze_rs_tpu.scales import process_scales
+
+    sig = sys.argv[1] if len(sys.argv) > 1 else "noise"
+    N = 160_000
+    n_rows = 300
+    rng = np.random.default_rng(0)
+    wavelet = Wavelet.build("gmw")
+    scales = process_scales("log-piecewise", N, wavelet)[:n_rows]
+
+    if sig == "noise":
+        x = rng.standard_normal(N)
+        gamma = None
+    else:
+        t = np.arange(N) / N
+        x = np.cos(2 * np.pi * (N / 64) * t)
+        gamma = 1e-3 if sig == "tone_g" else None
+
+    xj = jnp.asarray(x, jnp.float32)
+
+    @jax.jit
+    def fn(x, i):
+        kw = {} if gamma is None else {"gamma": gamma}
+        Tx = ssq_cwt(x + i * 1e-12, wavelet, scales=scales, fs=1.0,
+                     dtype="float32", **kw)[0]
+        return jnp.sum(jnp.abs(Tx))
+
+    out = float(fn(xj, 0))
+    best = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        outs = [fn(xj, r * 8 + i + 1) for i in range(8)]
+        float(outs[-1])
+        best = min(best, (time.perf_counter() - t0) / 8)
+    print(f"skip={os.environ.get('SSQ_TPU_REASSIGN_SKIP', '0')} "
+          f"sig={sig}: {best * 1e3:.2f} ms  (checksum {out:.6g})")
+
+
+if __name__ == "__main__":
+    main()
