@@ -111,6 +111,41 @@ def main():
           S.shape == (1, 129, N) and np.isfinite(float(jnp.sum(jnp.abs(S)))),
           f"{S.shape}")
 
+    # 6b. batched planar fused kernel (b > 1 grid) on hardware
+    @jax.jit
+    def batched_cwt_diff(x):
+        xb = jnp.stack([x, 2.0 * x, -x, 0.25 * x])
+        Wxb = ssq.cwt(xb, "gmw", scales="log", dtype="float32")[0]
+        Wx1 = ssq.cwt(x, "gmw", scales="log", dtype="float32")[0]
+        return (jnp.max(jnp.abs(Wxb[0] - Wx1)) /
+                jnp.max(jnp.abs(Wx1)))
+
+    d = float(batched_cwt_diff(x))
+    check("batched fused cwt kernel (b=4 grid)", d < 1e-4, f"rel={d:.1e}")
+
+    # 6c. jax.grad through the Pallas fast path compiles + runs on chip
+    @jax.jit
+    def ssq_grad_norm(x):
+        def loss(x):
+            Tx, Wx, *_ = ssq.ssq_cwt(x, "gmw", fs=fs, dtype="float32")
+            return jnp.sum(jnp.abs(Tx) ** 2)
+        g = jax.grad(loss)(x)
+        return jnp.sqrt(jnp.sum(g * g))
+
+    gn = float(ssq_grad_norm(x))
+    check("grad through fused kernels on-chip", np.isfinite(gn) and gn > 0,
+          f"|g|={gn:.3e}")
+
+    # 6d. exact hybrid chunked ssq_cwt on the 1-device mesh (all_gather +
+    # all_to_all lowering on hardware)
+    from ssqueeze_rs_tpu.parallel import chunked_ssq_cwt
+    Txc, Wxc, frc, scc = chunked_ssq_cwt(x[None], mesh, wavelet="gmw",
+                                         scales="log", fs=fs,
+                                         dtype="float32")
+    check("hybrid chunked_ssq_cwt on-chip",
+          Txc.shape[-1] == N and np.isfinite(float(jnp.sum(jnp.abs(Txc)))),
+          f"{Txc.shape}")
+
     # 7. timing sanity (not a hard gate; relay adds ~4-5 ms per dispatch)
     @jax.jit
     def ssq_fn(x, i):
