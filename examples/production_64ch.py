@@ -42,16 +42,21 @@ def main():
 
     from ssqueeze_rs_tpu.parallel import process_recording
 
+    # 'energy' reduces on device to the (C, rows) spectral profile:
+    # over a relay-attached chip the full TF fetch (~16 B/sample)
+    # dominates wall time and says nothing about the chip
+    mode = "energy" if "--energy" in sys.argv else "numpy"
     chunk_len = 250_000 if small else 1_000_000
     t0 = time.perf_counter()
     result, meta = process_recording(
         path, transform="ssq_cwt", fs=fs, n_channels=C,
-        chunk_len=chunk_len, scales="log-piecewise", dtype="float32")
+        chunk_len=chunk_len, scales="log-piecewise", dtype="float32",
+        out=mode)
     dt = time.perf_counter() - t0
     msps = C * N / dt / 1e6
-    rows = result.shape[-2]
-    print(f"ssq_cwt {C} ch x {N} samples ({rows} rows): {dt:.1f} s "
-          f"-> {msps:.2f} MSamples/s", flush=True)
+    rows = result.shape[-2] if mode == "numpy" else result.shape[-1]
+    print(f"ssq_cwt[{mode}] {C} ch x {N} samples ({rows} rows): "
+          f"{dt:.1f} s -> {msps:.2f} MSamples/s", flush=True)
     print(f"output {result.shape}, ssq_freqs "
           f"[{meta['ssq_freqs'].min():.3f}, {meta['ssq_freqs'].max():.1f}]")
     os.remove(path)

@@ -53,9 +53,17 @@ def process_recording(source, transform="ssq_cwt", fs=1.0, n_channels=None,
     pyarrow data path, tests/stft_test.py:374-377; `columns` selects
     channel columns), or a (n_channels, n_samples) array.
 
+    `out`: 'numpy' (default) fetches the full TF array; 'energy' reduces
+    on device to the per-(channel, row) energy profile sum_t |out|^2 —
+    a (C, n_rows) spectral summary whose fetch is tiny (useful for long
+    recordings, and on relay-attached chips where full-output fetches
+    dominate wall time).
+
     Returns (result, meta): result has shape (C, n_rows, ~N/hop) stacked
-    along time; meta holds frequencies/scales.
+    along time ('numpy') or (C, n_rows) ('energy'); meta holds
+    frequencies/scales.
     """
+    assert_is_one_of(out, "out", ("numpy", "energy"))
     assert_is_one_of(transform, "transform", ("stft", "cwt", "ssq_cwt",
                                               "ssq_stft"))
     import jax.numpy as jnp
@@ -210,17 +218,34 @@ def process_recording(source, transform="ssq_cwt", fs=1.0, n_channels=None,
                     jnp.asarray(np.asarray(ssq_freqs)),
                     jnp.asarray(np.asarray(sc)))
 
-    for start, cl, chunk in chunks():
-        def fn(ch, cl=cl):
-            # fetch real/imag planes separately: complex64 device->host
-            # transfers are UNIMPLEMENTED over the axon relay
+    if out == "energy":
+        @partial(jax.jit, static_argnames=("cl",))
+        def efn(ch, cl):
             outr, outi, fr, sc = jfn(ch, cl=cl)
-            if fr is not None:
-                meta["ssq_freqs"] = np.asarray(fr)
-            if sc is not None:
-                meta["scales"] = np.asarray(sc)
-            return np.asarray(outr) + 1j * np.asarray(outi)
+            return jnp.sum(outr * outr + outi * outi, axis=-1), fr, sc
+
+    for start, cl, chunk in chunks():
+        if out == "energy":
+            def fn(ch, cl=cl):
+                e, fr, sc = efn(ch, cl=cl)
+                if fr is not None:
+                    meta["ssq_freqs"] = np.asarray(fr)
+                if sc is not None:
+                    meta["scales"] = np.asarray(sc)
+                return np.asarray(e)
+        else:
+            def fn(ch, cl=cl):
+                # fetch real/imag planes separately: complex64 device->
+                # host transfers are UNIMPLEMENTED over the axon relay
+                outr, outi, fr, sc = jfn(ch, cl=cl)
+                if fr is not None:
+                    meta["ssq_freqs"] = np.asarray(fr)
+                if sc is not None:
+                    meta["scales"] = np.asarray(sc)
+                return np.asarray(outr) + 1j * np.asarray(outi)
         outs.append(_apply(fn, chunk))
 
+    if out == "energy":
+        return np.sum(np.stack(outs), axis=0), meta
     result = np.concatenate(outs, axis=-1)
     return result, meta

@@ -113,3 +113,16 @@ def test_process_recording_short_final_chunk_single_grid():
     # grid monotone & fixed
     fr = m["ssq_freqs"]
     assert (np.diff(fr) < 0).all() or (np.diff(fr) > 0).all()
+
+
+def test_process_recording_energy_mode():
+    """out='energy' == time-summed |full output|^2 per (channel, row)."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 4000))
+    kw = dict(transform="stft", fs=1000.0, n_fft=128, chunk_len=1500,
+              dtype="float64")
+    full, _ = process_recording(x, **kw)
+    en, _ = process_recording(x, out="energy", **kw)
+    want = np.sum(np.abs(full) ** 2, axis=-1)
+    assert en.shape == want.shape
+    assert np.allclose(en, want, rtol=1e-12)
