@@ -64,12 +64,35 @@ def _xi_grid_np(M: int):
     return xi.reshape(M1 // 2, M2)
 
 
+# host-sampled filterbank cache (reference `cache_wavelet` / Psih cache,
+# old/ssqueezepy/wavelets.py:135-159, _cwt.py:97-103). The arrays are
+# kept as HOST numpy and converted to jnp INSIDE the traced function, so
+# they fold into the compiled program as constants: no per-call psih
+# evaluation (~2 ms at (300, 131072) on-chip) and no closure-captured
+# device arrays (which the axon relay re-fetches — see CLAUDE.md).
+_FB_CACHE: dict = {}
+
+
+def _cache_filterbank(wavelet: Wavelet, scales_np, M: int) -> str:
+    token = (wavelet.name, hash((wavelet.params, scales_np.tobytes(), M)))
+    token = f"{token[0]}:{token[1]:x}"
+    if token not in _FB_CACHE:
+        xig = _xi_grid_np(M)  # f32 grid — same operand the traced path uses
+        sc = scales_np.astype(np.float32)
+        Pw = wavelet.psih(sc[:, None, None] * xig[None], np).astype(
+            np.float32)
+        pnyq = (wavelet.psih(sc * np.float32(np.pi), np) / 2).astype(
+            np.float32)
+        _FB_CACHE[token] = (Pw, pnyq)
+    return token
+
+
 @partial(jax.jit, static_argnames=("wavelet", "derivative", "l1_norm", "N",
                                    "n1", "rpadded", "planar_out",
-                                   "engines"))
+                                   "engines", "fb_token"))
 def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
              l1_norm: bool, N: int, n1: int, rpadded: bool,
-             planar_out: bool = False, engines=None):
+             planar_out: bool = False, engines=None, fb_token=None):
     """CWT of an already-padded signal. xp: (..., M); returns (..., na, N).
 
     `planar_out=True` (fused ssq_cwt path; requires the MXU half-band
@@ -106,10 +129,18 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
         rdt = xp.dtype
         xh = jnp.fft.rfft(xp.reshape(b, M), axis=-1)      # (b, M/2+1) c64
         xig = _xi_grid_np(M)                              # (K1, M2) host
-        Pw = wavelet.psih(scales[:, None, None] *
-                          jnp.asarray(xig)[None, :, :], jnp).astype(rdt)
-        # Nyquist bin: psih(scale*pi)/2 * real(xh[M/2])
-        pnyq = (wavelet.psih(scales * np.float32(np.pi), jnp) / 2).astype(rdt)
+        if fb_token is not None:
+            # cache_wavelet: host-sampled filterbank folded in as a
+            # program constant — skips ~2 ms of per-call psih eval
+            np_Pw, np_pnyq = _FB_CACHE[fb_token]
+            Pw = jnp.asarray(np_Pw).astype(rdt)
+            pnyq = jnp.asarray(np_pnyq).astype(rdt)
+        else:
+            Pw = wavelet.psih(scales[:, None, None] *
+                              jnp.asarray(xig)[None, :, :], jnp).astype(rdt)
+            # Nyquist bin: psih(scale*pi)/2 * real(xh[M/2])
+            pnyq = (wavelet.psih(scales * np.float32(np.pi), jnp) /
+                    2).astype(rdt)
         znyq = (xh[:, -1].real.astype(rdt)[:, None] *
                 pnyq[None, :]).reshape(b * na)
         zeros = jnp.zeros_like(znyq)
@@ -222,9 +253,18 @@ def cwt(x, wavelet="gmw", scales="log-piecewise", fs=None, t=None, nv=32,
         average=None, nan_checks=None, patience=0, dtype=None):
     """Continuous Wavelet Transform (reference parity: _cwt.py:12-318).
 
-    `vectorized`, `cache_wavelet`, `astensor`, `patience` are accepted for
-    API compatibility; on TPU the transform is always a single vectorized
+    `vectorized`, `astensor`, `patience` are accepted for API
+    compatibility; on TPU the transform is always a single vectorized
     program and XLA owns planning/caching.
+
+    `cache_wavelet=True` (reference Psih cache, wavelets.py:135-159;
+    its published benchmarks run with it on) folds a HOST-sampled
+    filterbank into the compiled program as a constant, skipping the
+    per-call psih evaluation. Measured: ~2 ms standalone at
+    (300, 131072) but only ~0.3 ms in situ — XLA overlaps the VPU
+    sampling with the MXU stages. Effective on the planar MXU path;
+    numerics may differ from in-trace sampling at ~1 ulp (host libm vs
+    XLA transcendentals). Default None = off.
 
     Returns (Wx, scales) or (Wx, scales, dWx) if `derivative`.
     """
@@ -259,13 +299,21 @@ def cwt(x, wavelet="gmw", scales="log-piecewise", fs=None, t=None, nv=32,
                     batch=int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1,
                     derivative=derivative, what="cwt")
 
-    from .fft_mxu import use_mxu_fft
+    from .fft_mxu import use_mxu_fft, best_split
     from ..config import use_pallas_kernels
+    fb_token = None
+    if cache_wavelet:
+        M = xp.shape[-1]
+        if (str(dtype) == "float32" and use_mxu_fft() and
+                best_split(M) is not None and _psih_is_real(wavelet)):
+            fb_token = _cache_filterbank(
+                wavelet, np.asarray(scales_arr).squeeze(-1), M)
     out = cwt_core(xp, jnp.asarray(scales_arr.squeeze(-1), dtype=dtype),
                    jnp.asarray(dt, dtype=dtype), wavelet=wavelet,
                    derivative=derivative, l1_norm=l1_norm, N=N, n1=n1,
                    rpadded=rpadded,
-                   engines=(use_mxu_fft(), use_pallas_kernels()))
+                   engines=(use_mxu_fft(), use_pallas_kernels()),
+                   fb_token=fb_token)
     scales_out = scales_arr.squeeze()
     if derivative:
         return out[0], scales_out, out[1]

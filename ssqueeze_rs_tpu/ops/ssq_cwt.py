@@ -108,18 +108,26 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
                 derivative=True, what="ssq_cwt")
             from .fft_mxu import use_mxu_fft
             from ..config import use_pallas_kernels
+            fb_token = None
+            if cache_wavelet:
+                from .cwt import _cache_filterbank
+                fb_token = _cache_filterbank(
+                    wavelet, np.asarray(scales).squeeze(-1),
+                    xp_.shape[-1])
             planes_w, planes_d = cwt_core(
                 xp_, sc, jnp.asarray(dt, xx.dtype), wavelet=wavelet,
                 derivative=True, l1_norm=True, N=N, n1=n1_, rpadded=False,
                 planar_out=True,
-                engines=(use_mxu_fft(), use_pallas_kernels()))
+                engines=(use_mxu_fft(), use_pallas_kernels()),
+                fb_token=fb_token)
             Wx = jax.lax.complex(*planes_w)
             dWx = (jax.lax.complex(*planes_d) if get_dWx else planes_d)
         else:
             Wx, scales_out, dWx = cwt(x, wavelet, scales=scales, fs=fs,
                                       nv=nv, l1_norm=True, derivative=True,
                                       padtype=padtype, rpadded=rpadded,
-                                      nan_checks=nan_checks, dtype=dtype)
+                                      nan_checks=nan_checks, dtype=dtype,
+                                      cache_wavelet=cache_wavelet)
 
     if gamma is None:
         gamma = 10 * (EPS64 if Wx.dtype == jnp.complex128 else EPS32)

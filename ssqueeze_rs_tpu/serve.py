@@ -135,6 +135,49 @@ class TransformServer:
                 res[k] = np.asarray(v)
         return res
 
+    def batch(self, xs):
+        """Serve MANY requests in ONE dispatched program (dynamic
+        batching). Each request (1D, possibly different lengths within
+        the same bucket) is reflect-padded to the shared bucket, stacked
+        on the channel axis, transformed once, and split back per
+        request trimmed to its own length.
+
+        Measured motivation (BENCH_TABLE.json): single-request latency
+        on relay-attached chips is dispatch-floor-bound (~4-5 ms); 16
+        stacked 10k requests run at 0.84-2.9 ms/transform — 4-10x the
+        single-request rate. Returns a list of per-request dicts.
+        """
+        import jax.numpy as jnp
+
+        xs = [np.asarray(x) for x in xs]
+        if not xs:
+            return []
+        if any(x.ndim != 1 for x in xs):
+            raise ValueError("batch() takes 1D requests; use __call__ "
+                             "for multichannel arrays")
+        b = self.bucket_for(max(len(x) for x in xs))
+        key = (b, len(xs))
+        if key not in self._fns:
+            self._fns[key] = self._build(b, len(xs))
+        X = np.stack([np.pad(x, (0, b - len(x)), mode="reflect")
+                      if len(x) < b else x for x in xs])
+        out = self._fns[key](jnp.asarray(X, dtype=self.dtype))
+
+        results = [dict() for _ in xs]
+        for k, v in out.items():
+            if k in ("Tx", "Wx", "Sx"):
+                vr = np.asarray(v.real)
+                vi = np.asarray(v.imag)
+                a = vr + 1j * vi
+                for i, x in enumerate(xs):
+                    cols = self._out_cols(k, len(x), b, v)
+                    results[i][k] = a[i, ..., :cols]
+            else:
+                w = np.asarray(v)
+                for r in results:
+                    r[k] = w
+        return results
+
     def _out_cols(self, name, N, bucket, v):
         n_out = v.shape[-1]
         if n_out == bucket:          # hop 1 / cwt: one column per sample

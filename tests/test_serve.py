@@ -98,3 +98,21 @@ def test_server_bucket_deviation_bound():
     assert e_served < e_direct * 1.25 + 1e-3, (e_served, e_direct)
     # reconstructions agree with each other well inside the error level
     assert mad_rms(xr_direct, xr_served) < 0.05
+
+
+def test_server_dynamic_batching():
+    """batch(): many requests, one dispatch; per-request outputs equal
+    single-request serving."""
+    srv = TransformServer("ssq_cwt", buckets=(2048,), dtype="float64",
+                          fs=500.0, wavelet=("gmw", {"beta": 8.0}))
+    rng = np.random.default_rng(4)
+    xs = [rng.standard_normal(n) for n in (2048, 1500, 2000)]
+    outs = srv.batch(xs)
+    assert len(outs) == 3
+    for x, got in zip(xs, outs):
+        one = srv(x)
+        assert got["Tx"].shape == one["Tx"].shape, len(x)
+        assert np.allclose(got["Tx"], one["Tx"], atol=1e-12)
+        assert np.array_equal(got["ssq_freqs"], one["ssq_freqs"])
+    with pytest.raises(ValueError):
+        srv.batch([rng.standard_normal((2, 100))])
