@@ -134,8 +134,9 @@ struct Prefetcher {
     int64_t next_emit = 0;            // consumer's next chunk index
     int64_t held_slot = -1;           // slot loaned to the consumer
     bool stop = false;
+    int consumers_inside = 0;         // ssq_prefetch_next re-entrancy count
     std::mutex mu;
-    std::condition_variable cv_full, cv_free;
+    std::condition_variable cv_full, cv_free, cv_drained;
     std::thread worker;
 };
 
@@ -196,6 +197,17 @@ Prefetcher* ssq_prefetch_start(MappedSignal* h, int64_t chunk_len,
 int64_t ssq_prefetch_next(Prefetcher* p, float** buf_out, int64_t* len_out) {
     if (!p) return -1;
     std::unique_lock<std::mutex> lk(p->mu);
+    // presence counter: ssq_prefetch_stop waits for it to drain before
+    // deleting p, so a consumer woken by a concurrent stop can finish
+    // touching p safely (no use-after-free)
+    struct Presence {
+        Prefetcher* p;
+        ~Presence() {
+            if (--p->consumers_inside == 0) p->cv_drained.notify_all();
+        }
+    } presence{p};
+    p->consumers_inside++;
+    if (p->stop) return -1;
     if (p->held_slot >= 0) {          // recycle the loaned slot
         p->state[p->held_slot] = 0;
         p->held_slot = -1;
@@ -222,9 +234,10 @@ int64_t ssq_prefetch_next(Prefetcher* p, float** buf_out, int64_t* len_out) {
     return start;
 }
 
-// Caller contract: no ssq_prefetch_next call may be in flight or issued
-// after stop begins (stop deletes p). A consumer blocked in _next when
-// stop fires is woken and returns -1 before the worker join completes.
+// A consumer blocked in _next when stop fires is woken and returns -1;
+// stop waits for all in-flight _next calls to drain (consumers_inside)
+// before deleting p. Callers must not issue NEW _next calls after stop
+// begins.
 void ssq_prefetch_stop(Prefetcher* p) {
     if (!p) return;
     {
@@ -234,6 +247,10 @@ void ssq_prefetch_stop(Prefetcher* p) {
     p->cv_free.notify_all();
     p->cv_full.notify_all();  // release any consumer blocked in _next
     if (p->worker.joinable()) p->worker.join();
+    {
+        std::unique_lock<std::mutex> lk(p->mu);
+        p->cv_drained.wait(lk, [&] { return p->consumers_inside == 0; });
+    }
     delete p;
 }
 

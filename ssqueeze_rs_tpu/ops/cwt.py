@@ -70,13 +70,18 @@ def _xi_grid_np(M: int):
 # they fold into the compiled program as constants: no per-call psih
 # evaluation (~2 ms at (300, 131072) on-chip) and no closure-captured
 # device arrays (which the axon relay re-fetches — see CLAUDE.md).
-_FB_CACHE: dict = {}
+from collections import OrderedDict
+
+_FB_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
+_FB_CACHE_MAX = 8   # entries are ~na*M/2*4 bytes (~150 MB at (300, 2^18))
 
 
 def _cache_filterbank(wavelet: Wavelet, scales_np, M: int) -> str:
     token = (wavelet.name, hash((wavelet.params, scales_np.tobytes(), M)))
     token = f"{token[0]}:{token[1]:x}"
-    if token not in _FB_CACHE:
+    if token in _FB_CACHE:
+        _FB_CACHE.move_to_end(token)
+    else:
         xig = _xi_grid_np(M)  # f32 grid — same operand the traced path uses
         sc = scales_np.astype(np.float32)
         Pw = wavelet.psih(sc[:, None, None] * xig[None], np).astype(
@@ -84,6 +89,8 @@ def _cache_filterbank(wavelet: Wavelet, scales_np, M: int) -> str:
         pnyq = (wavelet.psih(sc * np.float32(np.pi), np) / 2).astype(
             np.float32)
         _FB_CACHE[token] = (Pw, pnyq)
+        while len(_FB_CACHE) > _FB_CACHE_MAX:
+            _FB_CACHE.popitem(last=False)
     return token
 
 

@@ -313,19 +313,26 @@ def _fused_ifft_vjp(static, Zr, Zi, nyq_r, nyq_i):
                        interpret=interpret, tiles=tiles)
 
 
-def _fused_ifft_fwd(static, Zr, Zi, nyq_r, nyq_i):
-    return _fused_ifft_vjp(static, Zr, Zi, nyq_r, nyq_i), \
-        (Zr, Zi, nyq_r, nyq_i)
-
-
-def _fused_ifft_bwd(static, res, g):
+def _ifft_transpose(keep, shapes, g):
+    """Transpose map of the (linear) XLA planar half-band iFFT applied to
+    output cotangents `g` — no forward evaluation, no array residuals
+    (`shapes` are ShapeDtypeStructs)."""
     from .fft_mxu import ifft_mxu_halfband_planar
-    _, keep, _, _ = static
-    Zr, Zi, nyq_r, nyq_i = res
     ref = lambda a, b, c, d: ifft_mxu_halfband_planar(
         a, b, keep=keep, nyq_r=c, nyq_i=d)
-    _, vjp = jax.vjp(ref, Zr, Zi, nyq_r, nyq_i)
-    return vjp(g)
+    return jax.linear_transpose(ref, *shapes)(g)
+
+
+def _fused_ifft_fwd(static, Zr, Zi, nyq_r, nyq_i):
+    out = _fused_ifft_vjp(static, Zr, Zi, nyq_r, nyq_i)
+    shapes = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                   for a in (Zr, Zi, nyq_r, nyq_i))
+    return out, shapes
+
+
+def _fused_ifft_bwd(static, shapes, g):
+    _, keep, _, _ = static
+    return _ifft_transpose(keep, shapes, g)
 
 
 _fused_ifft_vjp.defvjp(_fused_ifft_fwd, _fused_ifft_bwd)
@@ -562,16 +569,58 @@ def _cwt_fused_vjp(static, Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d):
 def _cwt_fused_fwd(static, Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d):
     out = _cwt_fused_vjp(static, Pw, xr_g, xi_g, xig, inv_dt, nyq_w,
                          nyq_d)
-    return out, (Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d)
+    return out, (Pw, xr_g, xi_g, xig, inv_dt)
 
 
 def _cwt_fused_bwd(static, res, g):
+    """Backward with NO wasted forward pass: one transpose of the linear
+    iFFT stage, then the hand-written adjoint of the elementwise Z-build
+    (Z = Pw * x; derivative pipe dZ = (-Zi, Zr) * xig * inv_dt)."""
     _, keep, derivative, _, _ = static
-    Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d = res
-    ref = functools.partial(_cwt_fused_ref, keep=keep,
-                            derivative=derivative)
-    _, vjp = jax.vjp(ref, Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d)
-    return vjp(g)
+    Pw, xr_g, xi_g, xig, inv_dt = res
+    g_owr, g_owi, g_odr, g_odi = g
+    b = xr_g.shape[0]
+    na, K1, M2 = Pw.shape
+    rows = b * na
+    f32 = jnp.float32
+    if derivative:
+        gxr_ = jnp.concatenate([g_owr, g_odr], axis=0)   # (2rows, L)
+        gxi_ = jnp.concatenate([g_owi, g_odi], axis=0)
+        zshape = jax.ShapeDtypeStruct((2 * rows, K1, M2), f32)
+        nshape = jax.ShapeDtypeStruct((2 * rows,), f32)
+    else:
+        gxr_, gxi_ = g_owr, g_owi
+        zshape = jax.ShapeDtypeStruct((rows, K1, M2), f32)
+        nshape = jax.ShapeDtypeStruct((rows,), f32)
+    gZr2, gZi2, gnr, gni = _ifft_transpose(
+        keep, (zshape, zshape, nshape, nshape), (gxr_, gxi_))
+
+    if derivative:
+        s = xig[None] * inv_dt                            # (1, K1, M2)
+        gZr = gZr2[:rows] + s * gZi2[rows:]
+        gZi = gZi2[:rows] - s * gZr2[rows:]
+        g_nw = (gnr[:rows], gni[:rows])
+        g_nd = (gnr[rows:], gni[rows:])
+        # cotangents for the grid/scale constants (rarely used, cheap):
+        # dZr = -Zi*s, dZi = Zr*s with Z = Pw*x
+        Zr = (Pw[None] * xr_g[:, None]).reshape(rows, K1, M2)
+        Zi = (Pw[None] * xi_g[:, None]).reshape(rows, K1, M2)
+        g_s = jnp.sum(Zr * gZi2[rows:] - Zi * gZr2[rows:], axis=0)
+        g_xig = g_s * inv_dt
+        g_invdt = jnp.sum(g_s * xig)
+    else:
+        gZr, gZi = gZr2, gZi2
+        g_nw = (gnr, gni)
+        g_nd = (jnp.zeros((rows,), f32), jnp.zeros((rows,), f32))
+        g_xig = jnp.zeros_like(xig)
+        g_invdt = jnp.zeros_like(inv_dt)
+
+    gZr4 = gZr.reshape(b, na, K1, M2)
+    gZi4 = gZi.reshape(b, na, K1, M2)
+    g_Pw = jnp.sum(gZr4 * xr_g[:, None] + gZi4 * xi_g[:, None], axis=0)
+    g_xr = jnp.sum(gZr4 * Pw[None], axis=1)
+    g_xi = jnp.sum(gZi4 * Pw[None], axis=1)
+    return (g_Pw, g_xr, g_xi, g_xig, g_invdt, g_nw, g_nd)
 
 
 _cwt_fused_vjp.defvjp(_cwt_fused_fwd, _cwt_fused_bwd)

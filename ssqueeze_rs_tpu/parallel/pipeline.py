@@ -84,12 +84,8 @@ def process_recording(source, transform="ssq_cwt", fs=1.0, n_channels=None,
                ParquetRecording(source, columns=columns))
         N = rec.n_samples
         def chunks():
-            start = 0
-            while start < N:
-                cl = min(chunk_len, N - start)
-                yield start, cl, rec.read_chunk(start, cl, halo_eff,
-                                                halo_eff)
-                start += chunk_len
+            for start, chunk in rec.iter_chunks(chunk_len, halo_eff):
+                yield start, chunk.shape[-1] - 2 * halo_eff, chunk
     elif is_path:
         from ..native import MappedRecording
         if n_channels is None:
@@ -97,17 +93,11 @@ def process_recording(source, transform="ssq_cwt", fs=1.0, n_channels=None,
         rec = MappedRecording(source, n_channels=n_channels, dtype="float32")
         N = rec.n_samples
         def chunks():
-            if prefetch:
-                for start, chunk in rec.iter_chunks_prefetch(
-                        chunk_len, halo_eff, depth=prefetch_depth):
-                    yield start, chunk.shape[-1] - 2 * halo_eff, chunk
-            else:
-                start = 0
-                while start < N:
-                    cl = min(chunk_len, N - start)
-                    yield start, cl, rec.read_chunk(start, cl, halo_eff,
-                                                    halo_eff)
-                    start += chunk_len
+            it = (rec.iter_chunks_prefetch(chunk_len, halo_eff,
+                                           depth=prefetch_depth)
+                  if prefetch else rec.iter_chunks(chunk_len, halo_eff))
+            for start, chunk in it:
+                yield start, chunk.shape[-1] - 2 * halo_eff, chunk
     else:
         x = np.atleast_2d(np.asarray(source))
         N = x.shape[-1]

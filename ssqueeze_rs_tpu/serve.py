@@ -156,11 +156,20 @@ class TransformServer:
             raise ValueError("batch() takes 1D requests; use __call__ "
                              "for multichannel arrays")
         b = self.bucket_for(max(len(x) for x in xs))
-        key = (b, len(xs))
+        # batch-size bucketing: round the request count up to a power of
+        # 2 (padding with copies of the last request, outputs dropped) so
+        # the compile count stays bounded — otherwise every distinct
+        # queue length would pay the 20-40 s compile cliff this class
+        # exists to prevent
+        n = len(xs)
+        nb = 1 << (n - 1).bit_length()
+        key = (b, nb)
         if key not in self._fns:
-            self._fns[key] = self._build(b, len(xs))
-        X = np.stack([np.pad(x, (0, b - len(x)), mode="reflect")
-                      if len(x) < b else x for x in xs])
+            self._fns[key] = self._build(b, nb)
+        padded = [np.pad(x, (0, b - len(x)), mode="reflect")
+                  if len(x) < b else x for x in xs]
+        padded += [padded[-1]] * (nb - n)
+        X = np.stack(padded)
         out = self._fns[key](jnp.asarray(X, dtype=self.dtype))
 
         results = [dict() for _ in xs]

@@ -116,8 +116,10 @@ def imshow(data, title=None, show=True, cmap=None, norm=None, complex=None,
                 a.set_xticks([])
                 a.set_yticks([])
     else:
-        if ax is None or fig is None:
+        if ax is None:
             fig, ax = plt.subplots(figsize=(10 * (w or 1), 6 * (h or 1)))
+        elif fig is None:
+            fig = ax.figure
         main_ax = ax
         shown = np.abs(data) if abs else data.real
         im = main_ax.imshow(shown, **_kw)
@@ -242,7 +244,11 @@ def plots(X, Y=None, nrows=None, ncols=None, tight=True, sharex=False,
     axes = np.atleast_1d(axes)
     for i, (ax, x, y, _pkw) in enumerate(zip(axes.flat, X, Y, pkw)):
         if isinstance(y, list):
-            for _x, _y, __pkw in zip(x or [None] * len(y), y, _pkw):
+            # overlay entry: per-overlay kwargs may be one shared dict
+            # or a list of dicts
+            over_kw = (_pkw if isinstance(_pkw, (list, tuple))
+                       else [_pkw] * len(y))
+            for _x, _y, __pkw in zip(x or [None] * len(y), y, over_kw):
                 plot(_x, _y, ax=ax, fig=fig, **__pkw, **kw)
                 if _scat:
                     scat(_x, _y, ax=ax, fig=fig, **__pkw, **kw)

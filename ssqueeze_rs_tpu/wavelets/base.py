@@ -13,7 +13,8 @@ the vmap/broadcast replacement for the reference's per-scale loops
 """
 from __future__ import annotations
 
-import weakref
+import itertools
+from collections import OrderedDict
 from dataclasses import dataclass
 from functools import lru_cache, cached_property
 
@@ -34,33 +35,33 @@ def register_family(name):
     return deco
 
 
+# Ad-hoc callable wavelets: bounded LRU of strong references. Strong
+# refs keep `Wavelet.build(lambda ...)` working even when the caller
+# drops their own reference (a weakref scheme broke exactly that), and
+# the LRU bound keeps repeated throwaway lambdas from growing the
+# registry without limit. Names are counter-unique forever, so a
+# recycled id() can never alias a dead callable's jit/filterbank caches.
+_CUSTOM_LRU: "OrderedDict[str, object]" = OrderedDict()
+_CUSTOM_BY_ID: dict = {}
+_CUSTOM_MAX = 64
+_custom_counter = itertools.count()
+
+
 def _register_callable(spec) -> str:
-    """Register an ad-hoc psih callable without pinning it forever.
-
-    The registry entry holds only a weakref; a finalizer removes the
-    entry when the callable is garbage-collected, so repeatedly passing
-    throwaway lambdas does not grow `_FAMILIES` (or downstream caches
-    keyed on the Wavelet) without bound. Non-weakref-able callables
-    fall back to a pinned strong reference.
-    """
-    name = f"_custom_{id(spec)}"
-    if name in _FAMILIES:
+    name = _CUSTOM_BY_ID.get(id(spec))
+    if (name is not None and name in _CUSTOM_LRU and
+            _CUSTOM_LRU[name] is spec):
+        _CUSTOM_LRU.move_to_end(name)
         return name
-    try:
-        ref = weakref.ref(spec)
-        weakref.finalize(spec, _FAMILIES.pop, name, None)
-
-        def builder(cfg, _ref=ref):
-            fn = _ref()
-            if fn is None:
-                raise RuntimeError(
-                    "custom wavelet callable was garbage-collected; keep a "
-                    "reference to it while its Wavelet is in use")
-            return lambda w, xp, _fn=fn: _fn(w)
-
-        _FAMILIES[name] = builder
-    except TypeError:
-        _FAMILIES[name] = lambda cfg, _fn=spec: (lambda w, xp: _fn(w))
+    name = f"_custom_{next(_custom_counter)}"
+    _CUSTOM_LRU[name] = spec
+    _CUSTOM_BY_ID[id(spec)] = name
+    _FAMILIES[name] = lambda cfg, _fn=spec: (lambda w, xp: _fn(w))
+    while len(_CUSTOM_LRU) > _CUSTOM_MAX:
+        old, oldspec = _CUSTOM_LRU.popitem(last=False)
+        _FAMILIES.pop(old, None)
+        if _CUSTOM_BY_ID.get(id(oldspec)) == old:
+            del _CUSTOM_BY_ID[id(oldspec)]
     return name
 
 
@@ -107,7 +108,15 @@ class Wavelet:
     # -- evaluation -----------------------------------------------------------
     @cached_property
     def _fn(self):
-        return _FAMILIES[self.name](self.config)
+        try:
+            builder = _FAMILIES[self.name]
+        except KeyError:
+            raise RuntimeError(
+                f"wavelet family '{self.name}' is no longer registered — "
+                "custom callable wavelets are kept in a bounded LRU of "
+                f"{_CUSTOM_MAX}; rebuild the Wavelet from its callable "
+                "(Wavelet.build(fn)) to re-register") from None
+        return builder(self.config)
 
     def psih(self, w, xp=np):
         """Evaluate the frequency-domain wavelet at radian frequencies `w`."""

@@ -193,19 +193,36 @@ def test_callable_wavelet():
     assert Wavelet.build(fn).name == Wavelet.build(fn).name
 
 
-def test_callable_wavelet_registry_is_garbage_collected():
-    """Ad-hoc callable wavelets don't pin the family registry forever
-    (ADVICE r1: unbounded _FAMILIES growth on throwaway lambdas)."""
-    import gc
-    from ssqueeze_rs_tpu.wavelets.base import Wavelet, _FAMILIES
+def test_callable_wavelet_registry_bounded_and_robust():
+    """Ad-hoc callable wavelets: inline lambdas stay usable after the
+    caller drops their reference (strong refs — a weakref scheme broke
+    this), the same callable dedupes to one entry, and the registry is
+    LRU-bounded so throwaway lambdas can't grow it without limit
+    (ADVICE r1 + code-review r2)."""
+    from ssqueeze_rs_tpu.wavelets.base import (Wavelet, _FAMILIES,
+                                               _CUSTOM_LRU, _CUSTOM_MAX)
 
-    before = len(_FAMILIES)
-    fn = lambda w: np.exp(-(w - 5.0) ** 2)  # noqa: E731
-    wav = Wavelet.build(fn)
-    assert len(_FAMILIES) == before + 1
-    # usable while alive
-    v = wav(np.array([4.0, 5.0]))
-    assert np.isclose(v[1], 1.0)
-    del fn, wav
+    # inline callable: no caller-held reference, must still evaluate
+    w = Wavelet.build(lambda om: np.exp(-(om - 5.0) ** 2))
+    import gc
     gc.collect()
-    assert len(_FAMILIES) == before
+    v = w(np.array([4.0, 5.0]))
+    assert np.isclose(v[1], 1.0)
+
+    # same callable -> same family (dedup)
+    fn = lambda om: np.exp(-om ** 2)  # noqa: E731
+    assert Wavelet.build(fn).name == Wavelet.build(fn).name
+
+    # bounded: many throwaway lambdas never exceed the LRU cap
+    before_families = len(_FAMILIES)
+    for i in range(2 * _CUSTOM_MAX):
+        Wavelet.build(lambda om, i=i: np.exp(-(om - i) ** 2))
+    assert len(_CUSTOM_LRU) <= _CUSTOM_MAX
+    assert len(_FAMILIES) <= before_families + _CUSTOM_MAX
+
+    # an evicted wavelet fails with a clear message, not a KeyError
+    import pytest
+    with pytest.raises(RuntimeError, match="no longer registered"):
+        w2 = Wavelet(w.name if w.name not in _FAMILIES else
+                     "_custom_0", ())
+        w2.psih(np.array([1.0]))

@@ -8,8 +8,10 @@ variant MUST run in its own process:
     done; done
 
 `noise` = dense input (every row above gamma everywhere);
-`tone`   = pure 100-bin tone (most rows sub-gamma -> sparsity wins);
-`tone_g` = tone with gamma raised to 1e-3*max (denoising setting).
+`tone`   = pure unit-amplitude tone (most rows sub-gamma);
+`tone_g` = tone with gamma raised to an ABSOLUTE 1e-3 — roughly
+           1e-3 * max|Wx| for the unit tone (|Wx| peaks are O(1)); a
+           denoising-like masking regime.
 """
 import os
 import sys
