@@ -10,7 +10,8 @@ from .config import DEFAULTS, EPS32, EPS64, pi
 from .utils.common import mad_rms, mad, est_riskshrink_thresh
 from .wavelets import (Wavelet, center_frequency, freq_resolution,
                        time_resolution, adm_cwt, adm_ssq, morsefreq,
-                       morsewave)
+                       morsewave, morlet, bump, cmhat, hhhat, gmw,
+                       gmw_l1, gmw_l2, gmw_l1_k, gmw_l2_k, compute_gmw)
 from .scales import (cwt_scalebounds, make_scales, process_scales,
                      infer_scaletype, logscale_transition_idx)
 

@@ -75,3 +75,32 @@ def _build_hhhat(cfg):
         return C * (_w * (1 + _w) * xp.exp(-0.5 * _w**2)) * (1 + xp.sign(_w))
 
     return fn
+
+
+# -- factory API (reference parity: wavelets.py:497-606 return
+# `lambda w: psih(w)` factories) ---------------------------------------------
+def _factory(name, dtype, **cfg):
+    builder = {"morlet": _build_morlet, "bump": _build_bump,
+               "cmhat": _build_cmhat, "hhhat": _build_hhhat}[name]
+    fn = builder({k: v for k, v in cfg.items() if v is not None})
+    return lambda w: fn(np.atleast_1d(np.asarray(w, dtype)), np)
+
+
+def morlet(mu=None, dtype="float64"):
+    """`lambda w: psih(w)` (reference: wavelets.py:497-529)."""
+    return _factory("morlet", dtype, mu=mu)
+
+
+def bump(mu=None, s=None, om=None, dtype="float64"):
+    """(reference: wavelets.py:532-562)"""
+    return _factory("bump", dtype, mu=mu, s=s, om=om)
+
+
+def cmhat(mu=None, s=None, dtype="float64"):
+    """(reference: wavelets.py:565-585)"""
+    return _factory("cmhat", dtype, mu=mu, s=s)
+
+
+def hhhat(mu=None, dtype="float64"):
+    """(reference: wavelets.py:588-606)"""
+    return _factory("hhhat", dtype, mu=mu)

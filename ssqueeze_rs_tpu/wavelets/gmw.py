@@ -209,3 +209,58 @@ def _morsewave1(N, f, gamma, beta, K, norm):
         Xr[len(Xr) // 2] /= 2
     x = np.fft.ifft(Xr, axis=0)
     return psif, x
+
+
+# -- factory / array API (reference parity: _gmw.py:22-264) -------------------
+def gmw(gamma=3.0, beta=60.0, norm="bandpass", order=0,
+        centered_scale=False, dtype="float64"):
+    """`lambda w: psih(w)` factory (reference: _gmw.py:22-133)."""
+    fn = _build_gmw(dict(gamma=gamma, beta=beta, norm=norm, order=order,
+                         centered_scale=centered_scale))
+    return lambda w: fn(np.atleast_1d(np.asarray(w, dtype)), np)
+
+
+def gmw_l1(gamma=3.0, beta=60.0, centered_scale=False, dtype="float64"):
+    """First-order L1(bandpass) GMW factory (reference: _gmw.py:187-225)."""
+    return gmw(gamma, beta, "bandpass", 0, centered_scale, dtype)
+
+
+def gmw_l2(gamma=3.0, beta=60.0, centered_scale=False, dtype="float64"):
+    """First-order L2(energy) GMW factory (reference: _gmw.py:226-264)."""
+    return gmw(gamma, beta, "energy", 0, centered_scale, dtype)
+
+
+def gmw_l1_k(gamma=3.0, beta=60.0, k=1, centered_scale=False,
+             dtype="float64"):
+    """k-th order L1 GMW factory (reference: _gmw.py:267-330)."""
+    return gmw(gamma, beta, "bandpass", k, centered_scale, dtype)
+
+
+def gmw_l2_k(gamma=3.0, beta=60.0, k=1, centered_scale=False,
+             dtype="float64"):
+    """k-th order L2 GMW factory (reference: _gmw.py:331-397)."""
+    return gmw(gamma, beta, "energy", k, centered_scale, dtype)
+
+
+def compute_gmw(N, scale, gamma=3.0, beta=60.0, time=False,
+                norm="bandpass", order=0, centered_scale=False,
+                norm_scale=True, dtype="float64"):
+    """Sampled GMW arrays: psih [N] (+ psi [N] if `time`)
+    (reference: _gmw.py:134-186)."""
+    from ..utils.fft import xifn
+
+    fn = gmw(gamma, beta, norm, order, centered_scale, dtype)
+    w = xifn(scale, N)
+    X = np.zeros(N, dtype)
+    X[:N // 2 + 1] = fn(w[:N // 2 + 1])
+    if norm == "energy" and norm_scale:
+        wc = float(np.atleast_1d(morsefreq(gamma, beta))[0])
+        X *= np.sqrt(wc * scale) if centered_scale else np.sqrt(scale)
+    X[np.isinf(X) | np.isnan(X)] = 0.0
+    if time:
+        Xr = X.copy()
+        if N % 2 == 0:
+            Xr[N // 2] /= 2  # jLab issue #13 (reference _gmw.py:176-178)
+        x = np.fft.ifft(Xr * (-1.0) ** np.arange(N))
+        return X, x
+    return X

@@ -266,3 +266,43 @@ def test_linear_scales_parity():
     ours = sq.process_scales("linear", 512, "gmw", nv=16)
     assert ours.shape == ref_scales.shape
     assert np.allclose(ours, ref_scales, rtol=1e-6)
+
+
+def test_wavelet_factory_parity():
+    """Public factory API (morlet/bump/cmhat/hhhat/gmw_l1/gmw_l2/
+    gmw_l1_k/gmw_l2_k/compute_gmw) matches the vendored reference
+    factories pointwise (reference: wavelets.py:497-606, _gmw.py:22-397)."""
+    from ssqueezepy import wavelets as ref_w
+    from ssqueezepy import _gmw as ref_g
+    from ssqueeze_rs_tpu import wavelets as our_w
+
+    w = np.linspace(-2.0, 20.0, 501)
+    f64 = dict(dtype="float64")   # the reference defaults to float32
+    pairs = [
+        (our_w.morlet(mu=9.0), ref_w.morlet(mu=9.0, **f64)),
+        (our_w.bump(mu=4.0, s=1.5), ref_w.bump(mu=4.0, s=1.5, **f64)),
+        (our_w.cmhat(mu=2.0, s=1.2), ref_w.cmhat(mu=2.0, s=1.2, **f64)),
+        (our_w.hhhat(mu=5.0), ref_w.hhhat(mu=5.0, **f64)),
+        (our_w.gmw_l1(gamma=3.0, beta=8.0), ref_g.gmw_l1(3.0, 8.0, **f64)),
+        (our_w.gmw_l2(gamma=3.0, beta=8.0), ref_g.gmw_l2(3.0, 8.0, **f64)),
+        (our_w.gmw_l1_k(gamma=3.0, beta=8.0, k=2),
+         ref_g.gmw_l1_k(3.0, 8.0, k=2, **f64)),
+        (our_w.gmw_l2_k(gamma=3.0, beta=8.0, k=2),
+         ref_g.gmw_l2_k(3.0, 8.0, k=2, **f64)),
+    ]
+    for i, (ours, ref) in enumerate(pairs):
+        a, b = np.asarray(ours(w.copy())), np.asarray(ref(w.copy()))
+        assert np.allclose(a, b, atol=1e-10), i
+
+    for norm in ("bandpass", "energy"):
+        for time in (False, True):
+            got = our_w.compute_gmw(256, 5.0, gamma=3.0, beta=8.0,
+                                    time=time, norm=norm)
+            want = ref_g.compute_gmw(256, 5.0, gamma=3.0, beta=8.0,
+                                     time=time, norm=norm,
+                                     dtype="float64")
+            if time:
+                assert np.allclose(got[0], want[0], atol=1e-10)
+                assert np.allclose(got[1], want[1], atol=1e-10)
+            else:
+                assert np.allclose(got, want, atol=1e-10)
