@@ -324,15 +324,18 @@ def _ifft_transpose(keep, shapes, g):
 
 
 def _fused_ifft_fwd(static, Zr, Zi, nyq_r, nyq_i):
-    out = _fused_ifft_vjp(static, Zr, Zi, nyq_r, nyq_i)
-    shapes = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
-                   for a in (Zr, Zi, nyq_r, nyq_i))
-    return out, shapes
+    # no residuals (ShapeDtypeStructs are not jit-legal residuals; every
+    # shape derives from `static` + the cotangent)
+    return _fused_ifft_vjp(static, Zr, Zi, nyq_r, nyq_i), None
 
 
-def _fused_ifft_bwd(static, shapes, g):
-    _, keep, _, _ = static
-    return _ifft_transpose(keep, shapes, g)
+def _fused_ifft_bwd(static, res, g):
+    M, keep, _, _ = static
+    B = g[0].shape[0]
+    M1, M2 = best_split(M)
+    zshape = jax.ShapeDtypeStruct((B, M1 // 2, M2), jnp.float32)
+    nshape = jax.ShapeDtypeStruct((B,), jnp.float32)
+    return _ifft_transpose(keep, (zshape, zshape, nshape, nshape), g)
 
 
 _fused_ifft_vjp.defvjp(_fused_ifft_fwd, _fused_ifft_bwd)

@@ -68,7 +68,7 @@ def _dft_matrix(window, n_fft, modulated):
 
 @lru_cache(maxsize=128)
 def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
-                  derivative, dtype_str, planar=False):
+                  derivative, dtype_str, planar=False, fused_kernel=False):
     """Build & jit an STFT program with the window folded in as constants.
 
     `planar=True` (matmul path only) returns f32 real/imag planes
@@ -135,14 +135,22 @@ def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
         # keep as numpy: converting inside `run` avoids tracer leaks when
         # the program is built within an outer jit trace
         K_np = np.concatenate(mats, axis=1).astype(rdtype)  # (n_fft, k*nf)
+        K_T_np = np.ascontiguousarray(K_np.T)               # (k*nf, n_fft)
 
         @jax.jit
         def run(xp, fs):
-            framesT = frames_T(xp)
-            out = jnp.einsum("fk,...kn->...fn", jnp.asarray(K_np.T),
-                             framesT,
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
+            if fused_kernel:
+                # Pallas fused framing + DFT (hop=1): the frame matrix
+                # never exists in HBM (ops/stft_pallas.py)
+                from .stft_pallas import stft_dft_fused
+                n_out = xp.shape[-1] - n_fft + 1
+                out = stft_dft_fused(xp, K_T_np, n_fft, n_out)
+            else:
+                framesT = frames_T(xp)
+                out = jnp.einsum("fk,...kn->...fn", jnp.asarray(K_T_np),
+                                 framesT,
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
             sxr = out[..., 0:n_freqs, :]
             sxi = out[..., n_freqs:2 * n_freqs, :]
             if derivative:
@@ -197,9 +205,19 @@ def stft_core(xp, window, diff_window, fs, *, n_fft, hop_len, modulated,
     win_bytes = np.asarray(window, np.float64).tobytes()
     dwin_bytes = (np.asarray(diff_window, np.float64).tobytes()
                   if (derivative and diff_window is not None) else None)
+    # fused Pallas framing+DFT: hop=1 f32 on TPU (or interpret) only;
+    # flag read here so the lru key captures it (env A/B in separate
+    # processes, as with the other kernels)
+    from ..config import use_pallas_kernels
+    from .stft_pallas import stft_fused_ok
+    use_matmul = (np.dtype(str(xp.dtype)) == np.float32 and
+                  n_fft <= MATMUL_NFFT_MAX)
+    kmats = 4 if derivative else 2
+    fused = bool(use_matmul and hop_len == 1 and use_pallas_kernels() and
+                 stft_fused_ok(int(n_fft), int(xp.shape[-1]), kmats))
     run = _stft_program(win_bytes, dwin_bytes, int(n_fft), int(hop_len),
                         bool(modulated), bool(derivative), str(xp.dtype),
-                        planar=bool(planar_out))
+                        planar=bool(planar_out), fused_kernel=fused)
     return run(xp, jnp.asarray(fs, dtype=xp.dtype))
 
 

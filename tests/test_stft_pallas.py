@@ -1,0 +1,82 @@
+"""Fused Pallas windowed-DFT STFT kernel (interpret mode on CPU)."""
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ssqueeze_rs_tpu import stft
+
+
+def _clear():
+    jax.clear_caches()
+    sys.modules["ssqueeze_rs_tpu.ops.stft"]._stft_program.cache_clear()
+
+
+def _ab(monkeypatch, fn):
+    """Run fn with the fused kernel forced on, then off (env is read at
+    program-build time; caches cleared between)."""
+    monkeypatch.setenv("SSQ_TPU_KERNELS", "1")
+    _clear()
+    on = fn()
+    monkeypatch.setenv("SSQ_TPU_KERNELS", "0")
+    _clear()
+    off = fn()
+    monkeypatch.delenv("SSQ_TPU_KERNELS")
+    _clear()
+    return on, off
+
+
+@pytest.mark.parametrize("N,n_fft", [(4000, 598), (4000, 256), (3000, 121)])
+def test_fused_stft_matches_xla(monkeypatch, N, n_fft):
+    """Kernel == XLA matmul path within the bf16x6 bound (~5e-7)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(N).astype(np.float32)
+    S1, S0 = _ab(monkeypatch, lambda: np.asarray(
+        stft(x, n_fft=n_fft, hop_len=1, dtype="float32")))
+    assert S1.shape == S0.shape
+    rel = np.abs(S1 - S0).max() / np.abs(S0).max()
+    assert rel < 2e-6, rel
+
+
+def test_fused_stft_derivative_batched(monkeypatch):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 2000)).astype(np.float32)
+    f = lambda: [np.asarray(a) for a in stft(
+        x, n_fft=256, hop_len=1, fs=500.0, dtype="float32",
+        derivative=True)]
+    (S1, dS1), (S0, dS0) = _ab(monkeypatch, f)
+    for a, b in [(S1, S0), (dS1, dS0)]:
+        rel = np.abs(a - b).max() / np.abs(b).max()
+        assert rel < 2e-6, rel
+
+
+def test_fused_stft_grad_matches_xla(monkeypatch):
+    """custom_vjp (linear transpose, no residuals) == XLA autodiff."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(1000), jnp.float32)
+
+    def loss():
+        def f(x):
+            S = stft(x, n_fft=128, hop_len=1, dtype="float32")
+            return jnp.sum(jnp.abs(S) ** 2)
+        return np.asarray(jax.grad(f)(x))
+
+    g1, g0 = _ab(monkeypatch, loss)
+    rel = np.abs(g1 - g0).max() / np.abs(g0).max()
+    assert rel < 1e-4, rel
+
+
+def test_fused_gate_conditions(monkeypatch):
+    """hop > 1 and float64 stay on the XLA path (bitwise equality with
+    the kernel flag flipped proves the kernel never engaged)."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(2000)
+    f = lambda: np.asarray(stft(x, n_fft=256, hop_len=4, dtype="float32"))
+    S1, S0 = _ab(monkeypatch, f)
+    assert np.array_equal(S1, S0)
+    f = lambda: np.asarray(stft(x, n_fft=256, hop_len=1, dtype="float64"))
+    S1, S0 = _ab(monkeypatch, f)
+    assert np.array_equal(S1, S0)
