@@ -344,21 +344,40 @@ def _irfft_mats(n_fft: int, modulated: bool):
     return Fr, Fs
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop_len", "N", "modulated",
-                                   "win_exp"))
-def istft_core(Sx, window, wn, *, n_fft, hop_len, N, modulated, win_exp):
-    if Sx.dtype == jnp.complex64 and n_fft <= MATMUL_NFFT_MAX:
-        Fr_np, Fs_np = _irfft_mats(n_fft, modulated)
-        xbuf = (jnp.einsum("tk,...kn->...tn", jnp.asarray(Fr_np), Sx.real,
-                           precision=jax.lax.Precision.HIGHEST) -
-                jnp.einsum("tk,...kn->...tn", jnp.asarray(Fs_np), Sx.imag,
-                           precision=jax.lax.Precision.HIGHEST))
-    else:
-        xbuf = jnp.fft.irfft(Sx, n=n_fft, axis=-2)
-        if modulated:
-            xbuf = jnp.fft.fftshift(xbuf, axes=-2)
+def _win_pow(window_np, win_exp):
+    if win_exp == 0:
+        return np.ones_like(window_np)
+    return window_np ** win_exp
 
-    x = overlap_add(xbuf, window, hop_len, n_fft, N + n_fft - 1, win_exp)
+
+@partial(jax.jit, static_argnames=("n_fft", "hop_len", "N", "modulated",
+                                   "win_exp", "fused_kernel", "win_bytes"))
+def istft_core(Sx, window, wn, *, n_fft, hop_len, N, modulated, win_exp,
+               fused_kernel=False, win_bytes=None):
+    if fused_kernel:
+        # fused Pallas irfft-matmul + overlap-add (hop=1): the
+        # (n_fft, n_segs) OLA buffer never exists in HBM
+        from .stft_pallas import istft_ola_fused
+        Fr_np, Fs_np = _irfft_mats(n_fft, modulated)
+        we = _win_pow(np.frombuffer(win_bytes, np.float64),
+                      win_exp).astype(np.float32)[:, None]
+        x = istft_ola_fused(Sx, Fr_np * we, Fs_np * we, n_fft)
+    else:
+        if Sx.dtype == jnp.complex64 and n_fft <= MATMUL_NFFT_MAX:
+            Fr_np, Fs_np = _irfft_mats(n_fft, modulated)
+            xbuf = (jnp.einsum("tk,...kn->...tn", jnp.asarray(Fr_np),
+                               Sx.real,
+                               precision=jax.lax.Precision.HIGHEST) -
+                    jnp.einsum("tk,...kn->...tn", jnp.asarray(Fs_np),
+                               Sx.imag,
+                               precision=jax.lax.Precision.HIGHEST))
+        else:
+            xbuf = jnp.fft.irfft(Sx, n=n_fft, axis=-2)
+            if modulated:
+                xbuf = jnp.fft.fftshift(xbuf, axes=-2)
+
+        x = overlap_add(xbuf, window, hop_len, n_fft, N + n_fft - 1,
+                        win_exp)
 
     tiny = jnp.finfo(x.dtype).tiny
     x = jnp.where(wn > tiny, x / jnp.where(wn > tiny, wn, 1), x)
@@ -381,6 +400,13 @@ def istft(Sx, window=None, n_fft=None, win_len=None, hop_len=1, N=None,
     check_nola(window, hop_len)
     wn = window_norm(window, hop_len, n_fft, N, win_exp)
 
+    from ..config import use_pallas_kernels
+    from .stft_pallas import istft_fused_ok
+    fused = bool(Sx.dtype == jnp.complex64 and hop_len == 1 and
+                 use_pallas_kernels() and istft_fused_ok(n_fft) and
+                 N == Sx.shape[-1])
     return istft_core(Sx, jnp.asarray(window), jnp.asarray(wn), n_fft=n_fft,
                       hop_len=hop_len, N=N, modulated=modulated,
-                      win_exp=win_exp)
+                      win_exp=win_exp, fused_kernel=fused,
+                      win_bytes=np.asarray(window,
+                                           np.float64).tobytes())

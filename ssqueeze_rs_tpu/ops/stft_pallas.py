@@ -217,3 +217,180 @@ def _stft_fused_bwd(static, res, g):
 
 
 _stft_fused_vjp.defvjp(_stft_fused_fwd, _stft_fused_bwd)
+
+
+# -- fused istft: irfft matmul + overlap-add in VMEM (hop=1) ------------------
+def istft_fused_ok(n_fft: int) -> bool:
+    """Gate: the OLA window (T + n_fft - 1 columns) must fit in two
+    adjacent 1024-column blocks."""
+    return n_fft <= 1024 + 1
+
+
+def _make_istft_kernel(n_fft, n_freqs_pad, T):
+    off = T - n_fft + 1           # window start inside the 2-block view
+    Wd = n_fft - 1 + T            # window width
+    Wd_pad = _pad128(Wd)
+    # end-align the 128-padded slice inside the 2T view (off + Wd_pad
+    # can overshoot 2T); the OLA shifts below absorb the delta
+    off2 = 2 * T - Wd_pad
+    delta = off - off2
+
+    def kernel(sra_ref, srb_ref, sia_ref, sib_ref, frh_ref, frm_ref,
+               frl_ref, fsh_ref, fsm_ref, fsl_ref, out_ref, v_ref):
+        # 2-block column window of the Sx planes
+        Sr = jnp.concatenate([sra_ref[0], srb_ref[0]], axis=-1)
+        Si = jnp.concatenate([sia_ref[0], sib_ref[0]], axis=-1)
+        Xr = jax.lax.slice_in_dim(Sr, off2, off2 + Wd_pad, axis=-1)
+        Xi = jax.lax.slice_in_dim(Si, off2, off2 + Wd_pad, axis=-1)
+
+        def split3(X):
+            h = X.astype(jnp.bfloat16)
+            r1 = X - h.astype(jnp.float32)
+            m = r1.astype(jnp.bfloat16)
+            l = (r1 - m.astype(jnp.float32)).astype(jnp.bfloat16)
+            return h, m, l
+
+        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        def acc6(wh, wm, wl, X, sgn):
+            xh, xm, xl = split3(X)
+            v_ref[:] += sgn * d(wh[:], xh)
+            v_ref[:] += sgn * d(wh[:], xm)
+            v_ref[:] += sgn * d(wh[:], xl)
+            v_ref[:] += sgn * d(wm[:], xh)
+            v_ref[:] += sgn * d(wm[:], xm)
+            v_ref[:] += sgn * d(wl[:], xh)
+
+        # v = (w^e * irfft(+fftshift)) per column: Fr'@Sr - Fs'@Si
+        v_ref[:] = jnp.zeros_like(v_ref)
+        acc6(frh_ref, frm_ref, frl_ref, Xr, 1.0)
+        acc6(fsh_ref, fsm_ref, fsl_ref, Xi, -1.0)
+
+        # overlap-add: out[c] = sum_t v[t, delta + (n_fft - 1 - t) + c]
+        # — n_fft STATIC shifted row slices (trace-time unrolled)
+        V = v_ref[:]
+        acc = jax.lax.slice_in_dim(V[n_fft - 1], delta, delta + T)
+        for t in range(n_fft - 1):
+            s = delta + n_fft - 1 - t
+            acc = acc + jax.lax.slice_in_dim(V[t], s, s + T)
+        out_ref[0, 0, :] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "n_segs",
+                                             "interpret"))
+def _istft_fused_call(Sr, Si, Frh, Frm, Frl, Fsh, Fsm, Fsl, *, n_fft,
+                      n_segs, interpret):
+    """Sr/Si: (B, n_freqs, n_segs) f32 planes; F*: (n_fft_pad,
+    n_freqs_pad) bf16 splits of the w^e-scaled irfft matrices. Returns
+    (B, n_segs + n_fft - 1) f32 overlap-added signal (pre-norm)."""
+    B, n_freqs, _ = Sr.shape
+    T = 1024
+    L = n_segs + n_fft - 1
+    nT = -(-L // T)
+    n_freqs_pad = _pad8(n_freqs)
+    # left-pad one full block (zero contributions for columns < 0),
+    # right-pad so block j+1 of the last tile exists
+    total = (nT + 1) * T
+    pads = ((0, 0), (0, n_freqs_pad - n_freqs), (T, total - T - n_segs))
+    Sr = jnp.pad(Sr, pads)
+    Si = jnp.pad(Si, pads)
+
+    n_fft_pad = _pad8(n_fft)
+    kernel = _make_istft_kernel(n_fft, n_freqs_pad, T)
+    blkA = pl.BlockSpec((1, n_freqs_pad, T), lambda b, j: (b, 0, j),
+                        memory_space=pltpu.VMEM)
+    blkB = pl.BlockSpec((1, n_freqs_pad, T), lambda b, j: (b, 0, j + 1),
+                        memory_space=pltpu.VMEM)
+    cspec = lambda W: pl.BlockSpec(W.shape, lambda b, j: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    Wd_pad = _pad128(n_fft - 1 + T)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nT),
+        in_specs=[blkA, blkB, blkA, blkB,
+                  cspec(Frh), cspec(Frh), cspec(Frh),
+                  cspec(Fsh), cspec(Fsh), cspec(Fsh)],
+        out_specs=pl.BlockSpec((1, 1, T), lambda b, j: (b, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, nT * T), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_fft_pad, Wd_pad), jnp.float32)],
+        interpret=interpret,
+        **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024))),
+    )(Sr, Sr, Si, Si, Frh, Frm, Frl, Fsh, Fsm, Fsl)
+    return out[:, 0, :L]
+
+
+@functools.lru_cache(maxsize=64)
+def _istft_consts(fr_bytes, fs_bytes, n_fft, n_freqs):
+    """bf16 3-way splits of the (w^e-scaled) irfft matrices, padded to
+    (n_fft_pad8, n_freqs_pad8)."""
+    def prep(b):
+        F = np.frombuffer(b, np.float32).reshape(n_fft, n_freqs)
+        Fp = np.zeros((_pad8(n_fft), _pad8(n_freqs)), np.float32)
+        Fp[:n_fft, :n_freqs] = F
+        return _split3_bf16_np(Fp)
+    return prep(fr_bytes), prep(fs_bytes)
+
+
+def istft_ola_fused(Sx, Fr_np, Fs_np, n_fft: int, interpret=None):
+    """Fused irfft-matmul + overlap-add for hop=1 (the OLA window never
+    exists in HBM; see module docstring). Sx: (..., n_freqs, n_segs)
+    complex64; Fr/Fs: HOST (n_fft, n_freqs) f32 matrices with the
+    window^win_exp factor already folded into their rows. Returns
+    (..., n_segs + n_fft - 1) f32 pre-normalization OLA output.
+    Linear in Sx (custom_vjp, transpose via the XLA path)."""
+    if interpret is None:
+        interpret = interpret_mode()
+    batch = Sx.shape[:-2]
+    n_freqs, n_segs = Sx.shape[-2:]
+    b = int(np.prod(batch)) if batch else 1
+    Sr = Sx.real.astype(jnp.float32).reshape(b, n_freqs, n_segs)
+    Si = Sx.imag.astype(jnp.float32).reshape(b, n_freqs, n_segs)
+    (Frh, Frm, Frl), (Fsh, Fsm, Fsl) = _istft_consts(
+        Fr_np.astype(np.float32).tobytes(),
+        Fs_np.astype(np.float32).tobytes(), n_fft, n_freqs)
+    out = _istft_fused_vjp(
+        (n_fft, n_segs, interpret, Fr_np.astype(np.float32).tobytes(),
+         Fs_np.astype(np.float32).tobytes()),
+        Sr, Si, jnp.asarray(Frh), jnp.asarray(Frm), jnp.asarray(Frl),
+        jnp.asarray(Fsh), jnp.asarray(Fsm), jnp.asarray(Fsl))
+    return out.reshape(batch + (n_segs + n_fft - 1,))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _istft_fused_vjp(static, Sr, Si, Frh, Frm, Frl, Fsh, Fsm, Fsl):
+    n_fft, n_segs, interpret, _, _ = static
+    return _istft_fused_call(Sr, Si, Frh, Frm, Frl, Fsh, Fsm, Fsl,
+                             n_fft=n_fft, n_segs=n_segs,
+                             interpret=interpret)
+
+
+def _istft_fused_fwd(static, Sr, Si, *Fs):
+    return _istft_fused_vjp(static, Sr, Si, *Fs), None
+
+
+def _istft_fused_bwd(static, res, g):
+    n_fft, n_segs, _, fr_bytes, fs_bytes = static
+    B = g.shape[0]
+    n_freqs = len(np.frombuffer(fr_bytes, np.float32)) // n_fft
+    Fr = np.frombuffer(fr_bytes, np.float32).reshape(n_fft, n_freqs)
+    Fs = np.frombuffer(fs_bytes, np.float32).reshape(n_fft, n_freqs)
+
+    def ref(Sr, Si):
+        xbuf = (jnp.einsum("tk,bkn->btn", jnp.asarray(Fr), Sr) -
+                jnp.einsum("tk,bkn->btn", jnp.asarray(Fs), Si))
+        # overlap-add via shifted pads (transpose-friendly XLA form)
+        L = n_segs + n_fft - 1
+        return sum(jnp.pad(xbuf[:, t, :], ((0, 0), (t, L - n_segs - t)))
+                   for t in range(n_fft))
+
+    shapes = (jax.ShapeDtypeStruct((B, n_freqs, n_segs), jnp.float32),) * 2
+    gSr, gSi = jax.linear_transpose(ref, *shapes)(g)
+    zb = jnp.zeros((_pad8(n_fft), _pad8(n_freqs)), jnp.bfloat16)
+    return (gSr, gSi, zb, zb, zb, zb, zb, zb)
+
+
+_istft_fused_vjp.defvjp(_istft_fused_fwd, _istft_fused_bwd)

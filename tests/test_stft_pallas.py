@@ -80,3 +80,49 @@ def test_fused_gate_conditions(monkeypatch):
     f = lambda: np.asarray(stft(x, n_fft=256, hop_len=1, dtype="float64"))
     S1, S0 = _ab(monkeypatch, f)
     assert np.array_equal(S1, S0)
+
+
+@pytest.mark.parametrize("n_fft,win_exp", [(598, 1), (256, 0), (121, 2)])
+def test_fused_istft_matches_xla(monkeypatch, n_fft, win_exp):
+    """Fused irfft+OLA kernel == XLA matmul+scan path."""
+    from ssqueeze_rs_tpu import istft
+
+    rng = np.random.default_rng(4)
+    N = 3000
+    x = rng.standard_normal(N).astype(np.float32)
+    monkeypatch.setenv("SSQ_TPU_KERNELS", "0")
+    _clear()
+    Sx = stft(x, n_fft=n_fft, hop_len=1, dtype="float32")
+    f = lambda: np.asarray(istft(Sx, n_fft=n_fft, hop_len=1, N=N,
+                                 win_exp=win_exp))
+    x1, x0 = _ab(monkeypatch, f)
+    assert x1.shape == x0.shape
+    rel = np.abs(x1 - x0).max() / np.abs(x0).max()
+    assert rel < 2e-6, rel
+
+
+def test_fused_istft_round_trip_and_grad(monkeypatch):
+    from ssqueeze_rs_tpu import istft, mad_rms
+
+    rng = np.random.default_rng(5)
+    N = 2000
+    x = rng.standard_normal(N).astype(np.float32)
+    monkeypatch.setenv("SSQ_TPU_KERNELS", "1")
+    _clear()
+    Sx = stft(x, n_fft=256, hop_len=1, dtype="float32")
+    xr = np.asarray(istft(Sx, n_fft=256, hop_len=1, N=N))
+    assert mad_rms(x, xr) < 1e-5
+
+    def loss():
+        def f(S):
+            return jnp.sum(istft(S, n_fft=256, hop_len=1, N=N) ** 2)
+        return np.asarray(jax.grad(f)(Sx).real)
+
+    g1 = loss()
+    monkeypatch.setenv("SSQ_TPU_KERNELS", "0")
+    _clear()
+    g0 = loss()
+    monkeypatch.delenv("SSQ_TPU_KERNELS")
+    _clear()
+    rel = np.abs(g1 - g0).max() / np.abs(g0).max()
+    assert rel < 1e-4, rel
