@@ -131,3 +131,26 @@ def test_modulated_matmul_odd_nfft_matches_fft_path():
                               N=len(x)))
         err = np.mean(np.abs(x - xr)) / np.sqrt(np.mean(x ** 2))
         assert err < 1e-4, (n_fft, err)
+
+
+def test_dtype_preservation():
+    """Transforms preserve input precision: f32 -> c64, f64 -> c128
+    (reference: old/tests/fft_test.py:474-512)."""
+    import jax.numpy as jnp
+    from ssqueeze_rs_tpu import stft, istft, cwt, ssq_cwt, ssq_stft
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(1024)
+    for dt, cdt, rdt in [("float32", jnp.complex64, jnp.float32),
+                         ("float64", jnp.complex128, jnp.float64)]:
+        S = stft(x, n_fft=128, dtype=dt)
+        assert S.dtype == cdt, (dt, S.dtype)
+        xr = istft(S, n_fft=128)
+        assert xr.dtype == rdt, (dt, xr.dtype)
+        Wx, _ = cwt(x, "gmw", scales="log", dtype=dt)
+        assert Wx.dtype == cdt
+        Tx, Wx2, *_ = ssq_cwt(x, ("gmw", {"beta": 8.0}), scales="log",
+                              dtype=dt)
+        assert Tx.dtype == cdt and Wx2.dtype == cdt
+        Tx2, Sx2, *_ = ssq_stft(x, n_fft=128, dtype=dt)
+        assert Tx2.dtype == cdt and Sx2.dtype == cdt
