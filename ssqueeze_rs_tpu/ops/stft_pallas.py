@@ -42,7 +42,7 @@ def _pad128(n):
 
 def stft_fused_ok(n_fft: int, Mp: int, kmats: int) -> bool:
     """VMEM feasibility: signal row + W consts + F scratch + outputs."""
-    T = 512
+    T = 256
     nf_pad = _pad128(n_fft)
     rows = _pad8(kmats * (n_fft // 2 + 1))
     vmem = (2 * _pad128(Mp) * 4            # signal row (2x-buffered)
@@ -114,8 +114,12 @@ def _make_kernel(n_fft, nf_pad, T, rows_pad):
 def _stft_fused_call(xp, Wh, Wm, Wl, *, n_fft, rows, n_out, interpret):
     """xp: (B, Mp) f32 padded signal; returns (B, rows, n_out) f32 —
     the stacked [Sr; Si(; dSr; dSi)] planes (hop = 1)."""
+    import os
     B, Mp = xp.shape
-    T = 512
+    # measured at 598x160k: T=256 7.94 ms, 512 9.03, 1024 8.86
+    # (T=128 compiles pathologically); smaller tiles keep the Hankel
+    # scratch hot and overlap better
+    T = int(os.environ.get("SSQ_TPU_STFT_TILE", "256"))
     nT = -(-n_out // T)
     nf_pad = _pad128(n_fft)
     rows_pad = _pad8(rows)
