@@ -51,6 +51,48 @@ def frame_signal(xp, n_fft: int, hop_len: int):
     return xp[..., idx]
 
 
+def frames_T_scan(xp, n_fft: int, hop_len: int):
+    """framesT[..., j, i] = xp[..., j + i*hop]; built by a scan of
+    GROUPED in-place row writes (contiguous reads+writes — never an
+    XLA gather, which serializes on TPU; an unrolled 598-slice stack
+    also compiles for minutes on remote-compile setups). 8 rows per
+    scan step: the sequential while-loop's per-step overhead (~30 us)
+    dominated the old 1-row version (~15 ms of the 26 ms STFT).
+    Module-level so the fused kernel's transpose backward reuses it."""
+    G = 8
+    L = xp.shape[-1]
+    n_segs = (L - n_fft) // hop_len + 1
+    batch = xp.shape[:-1]
+    # pad so every grouped read of n_segs*hop + G - 1 stays in range
+    xp = jnp.pad(xp, [(0, 0)] * len(batch) + [(0, hop_len - 1 + G)])
+
+    def rows(j):   # (..., G, n_segs) for window offsets j..j+G-1
+        seg = jax.lax.dynamic_slice_in_dim(
+            xp, j, n_segs * hop_len + G - 1, axis=-1)
+        outs = []
+        for r in range(G):
+            s = jax.lax.slice_in_dim(seg, r, r + n_segs * hop_len,
+                                     axis=-1)
+            if hop_len > 1:
+                s = s.reshape(batch + (n_segs, hop_len))[..., 0]
+            outs.append(s)
+        return jnp.stack(outs, axis=-2)
+
+    def body(buf, g):
+        buf = jax.lax.dynamic_update_slice_in_dim(
+            buf, rows(g * G), g * G, axis=-2)
+        return buf, None
+
+    n_groups = -(-n_fft // G)
+    # derive init from xp so its sharding/varying axes match the
+    # scan body output under shard_map; over-allocate to a multiple
+    # of G and trim after
+    init = (jnp.zeros(batch + (n_groups * G, n_segs), xp.dtype)
+            + 0 * xp[..., :1, None])
+    framesT, _ = jax.lax.scan(body, init, jnp.arange(n_groups))
+    return framesT[..., :n_fft, :]
+
+
 def _dft_matrix(window, n_fft, modulated):
     """Windowed rfft matrix W[t, k] (complex128, host)."""
     n_freqs = n_fft // 2 + 1
@@ -82,44 +124,7 @@ def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
     use_matmul = (rdtype == np.float32 and n_fft <= MATMUL_NFFT_MAX)
 
     def frames_T(xp):
-        """framesT[..., j, i] = xp[..., j + i*hop]; built by a scan of
-        GROUPED in-place row writes (contiguous reads+writes — never an
-        XLA gather, which serializes on TPU; an unrolled 598-slice stack
-        also compiles for minutes on remote-compile setups). 8 rows per
-        scan step: the sequential while-loop's per-step overhead (~30 us)
-        dominated the old 1-row version (~15 ms of the 26 ms STFT)."""
-        G = 8
-        L = xp.shape[-1]
-        n_segs = (L - n_fft) // hop_len + 1
-        batch = xp.shape[:-1]
-        # pad so every grouped read of n_segs*hop + G - 1 stays in range
-        xp = jnp.pad(xp, [(0, 0)] * len(batch) + [(0, hop_len - 1 + G)])
-
-        def rows(j):   # (..., G, n_segs) for window offsets j..j+G-1
-            seg = jax.lax.dynamic_slice_in_dim(
-                xp, j, n_segs * hop_len + G - 1, axis=-1)
-            outs = []
-            for r in range(G):
-                s = jax.lax.slice_in_dim(seg, r, r + n_segs * hop_len,
-                                         axis=-1)
-                if hop_len > 1:
-                    s = s.reshape(batch + (n_segs, hop_len))[..., 0]
-                outs.append(s)
-            return jnp.stack(outs, axis=-2)
-
-        def body(buf, g):
-            buf = jax.lax.dynamic_update_slice_in_dim(
-                buf, rows(g * G), g * G, axis=-2)
-            return buf, None
-
-        n_groups = -(-n_fft // G)
-        # derive init from xp so its sharding/varying axes match the
-        # scan body output under shard_map; over-allocate to a multiple
-        # of G and trim after
-        init = (jnp.zeros(batch + (n_groups * G, n_segs), xp.dtype)
-                + 0 * xp[..., :1, None])
-        framesT, _ = jax.lax.scan(body, init, jnp.arange(n_groups))
-        return framesT[..., :n_fft, :]
+        return frames_T_scan(xp, n_fft, hop_len)
 
     if use_matmul:
         # every DFT bin of every frame from one MXU matmul over the
@@ -191,7 +196,7 @@ def _stft_program(win_bytes, dwin_bytes, n_fft, hop_len, modulated,
 
 
 def stft_core(xp, window, diff_window, fs, *, n_fft, hop_len, modulated,
-              derivative, planar_out=False):
+              derivative, planar_out=False, force_fused=None):
     """STFT of an already-padded signal (time = last axis).
 
     `window`/`diff_window` are HOST numpy arrays (folded into the compiled
@@ -207,14 +212,20 @@ def stft_core(xp, window, diff_window, fs, *, n_fft, hop_len, modulated,
                   if (derivative and diff_window is not None) else None)
     # fused Pallas framing+DFT: hop=1 f32 on TPU (or interpret) only;
     # flag read here so the lru key captures it (env A/B in separate
-    # processes, as with the other kernels)
+    # processes, as with the other kernels). `force_fused` lets
+    # chunked_stft pin the engine decided from the GLOBAL signal length
+    # so sharded and full transforms stay bit-identical.
     from ..config import use_pallas_kernels
     from .stft_pallas import stft_fused_ok
     use_matmul = (np.dtype(str(xp.dtype)) == np.float32 and
                   n_fft <= MATMUL_NFFT_MAX)
     kmats = 4 if derivative else 2
-    fused = bool(use_matmul and hop_len == 1 and use_pallas_kernels() and
-                 stft_fused_ok(int(n_fft), int(xp.shape[-1]), kmats))
+    if force_fused is None:
+        fused = bool(use_matmul and hop_len == 1 and
+                     use_pallas_kernels() and
+                     stft_fused_ok(int(n_fft), int(xp.shape[-1]), kmats))
+    else:
+        fused = bool(force_fused and use_matmul and hop_len == 1)
     run = _stft_program(win_bytes, dwin_bytes, int(n_fft), int(hop_len),
                         bool(modulated), bool(derivative), str(xp.dtype),
                         planar=bool(planar_out), fused_kernel=fused)
@@ -405,8 +416,9 @@ def istft(Sx, window=None, n_fft=None, win_len=None, hop_len=1, N=None,
     fused = bool(Sx.dtype == jnp.complex64 and hop_len == 1 and
                  use_pallas_kernels() and istft_fused_ok(n_fft) and
                  N == Sx.shape[-1])
+    # win_bytes is a static jit arg: pass it ONLY on the fused path so
+    # distinct windows don't force recompiles of the XLA program
+    wb = np.asarray(window, np.float64).tobytes() if fused else None
     return istft_core(Sx, jnp.asarray(window), jnp.asarray(wn), n_fft=n_fft,
                       hop_len=hop_len, N=N, modulated=modulated,
-                      win_exp=win_exp, fused_kernel=fused,
-                      win_bytes=np.asarray(window,
-                                           np.float64).tobytes())
+                      win_exp=win_exp, fused_kernel=fused, win_bytes=wb)

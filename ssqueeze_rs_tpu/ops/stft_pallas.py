@@ -40,9 +40,18 @@ def _pad128(n):
     return -(-n // 128) * 128
 
 
+def _tile() -> int:
+    # measured at 598x160k: T=256 7.94 ms, 512 9.03, 1024 8.86 (T=128
+    # compiles pathologically); env knob for A/B (trace-time read —
+    # separate processes, like the other kernel flags)
+    import os
+    return int(os.environ.get("SSQ_TPU_STFT_TILE", "256"))
+
+
 def stft_fused_ok(n_fft: int, Mp: int, kmats: int) -> bool:
-    """VMEM feasibility: signal row + W consts + F scratch + outputs."""
-    T = 256
+    """VMEM feasibility: signal row + W consts + F scratch + outputs.
+    Uses the SAME tile the kernel will use (env knob included)."""
+    T = _tile()
     nf_pad = _pad128(n_fft)
     rows = _pad8(kmats * (n_fft // 2 + 1))
     vmem = (2 * _pad128(Mp) * 4            # signal row (2x-buffered)
@@ -114,12 +123,8 @@ def _make_kernel(n_fft, nf_pad, T, rows_pad):
 def _stft_fused_call(xp, Wh, Wm, Wl, *, n_fft, rows, n_out, interpret):
     """xp: (B, Mp) f32 padded signal; returns (B, rows, n_out) f32 —
     the stacked [Sr; Si(; dSr; dSi)] planes (hop = 1)."""
-    import os
     B, Mp = xp.shape
-    # measured at 598x160k: T=256 7.94 ms, 512 9.03, 1024 8.86
-    # (T=128 compiles pathologically); smaller tiles keep the Hankel
-    # scratch hot and overlap better
-    T = int(os.environ.get("SSQ_TPU_STFT_TILE", "256"))
+    T = _tile()
     nT = -(-n_out // T)
     nf_pad = _pad128(n_fft)
     rows_pad = _pad8(rows)
@@ -169,14 +174,13 @@ def stft_dft_fused(xp, K_T_np, n_fft: int, n_out: int, interpret=None):
     if interpret is None:
         interpret = interpret_mode()
     rows = K_T_np.shape[0]
-    Wh, Wm, Wl = _w_consts(K_T_np.astype(np.float32).tobytes(), rows,
-                           n_fft)
+    k_bytes = K_T_np.astype(np.float32).tobytes()
+    Wh, Wm, Wl = _w_consts(k_bytes, rows, n_fft)
     batch = xp.shape[:-1]
     Mp = xp.shape[-1]
     b = int(np.prod(batch)) if batch else 1
     out = _stft_fused_vjp(
-        (n_fft, rows, n_out, interpret,
-         K_T_np.astype(np.float32).tobytes()),
+        (n_fft, rows, n_out, interpret, k_bytes),
         xp.reshape(b, Mp), jnp.asarray(Wh), jnp.asarray(Wm),
         jnp.asarray(Wl))
     return out.reshape(batch + (rows, n_out))
@@ -197,25 +201,22 @@ def _stft_fused_fwd(static, xp, Wh, Wm, Wl):
 
 
 def _stft_fused_bwd(static, res, g):
+    """Manual adjoint (the framing scan is not linear_transpose-able):
+    the transpose of framing IS overlap-add — gx[n] = sum_t
+    g_frames[t, n - t] — preceded by the transposed DFT matmul.
+    Scan-based OLA (ops/stft.overlap_add) and HIGHEST precision so TPU
+    gradients keep f32 accuracy (DEFAULT dots are single-pass bf16)."""
     n_fft, rows, n_out, _, k_bytes = static
-    B = g.shape[0]
-    xp_shape = jax.ShapeDtypeStruct((B, n_out + n_fft - 1), g.dtype)
     wh_shape = (_pad8(rows), _pad128(n_fft))
     K_T = np.frombuffer(k_bytes, np.float32).reshape(rows, n_fft)
 
-    def ref(xp):
-        # XLA reference: frames einsum (same math; used only for the
-        # transpose — jax.linear_transpose never runs it forward)
-        L = xp.shape[-1]
-        n_segs = L - n_fft + 1
-        idx_frames = jnp.stack(
-            [jax.lax.slice_in_dim(xp, r, r + n_segs, axis=-1)
-             for r in range(n_fft)], axis=-2)
-        out = jnp.einsum("fk,bkn->bfn", jnp.asarray(K_T), idx_frames,
-                         preferred_element_type=jnp.float32)
-        return out[..., :n_out]
-
-    (gx,) = jax.linear_transpose(ref, xp_shape)(g)
+    g_frames = jnp.einsum("fk,bfn->bkn", jnp.asarray(K_T), g,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+    from .stft import overlap_add
+    ones = jnp.ones((n_fft,), jnp.float32)
+    gx = overlap_add(g_frames, ones, 1, n_fft, n_out + n_fft - 1,
+                     win_exp=0)
     z = jnp.zeros(wh_shape, jnp.bfloat16)
     return (gx, z, z, z)
 
@@ -230,7 +231,7 @@ def istft_fused_ok(n_fft: int) -> bool:
     return n_fft <= 1024 + 1
 
 
-def _make_istft_kernel(n_fft, n_freqs_pad, T):
+def _make_istft_kernel(n_fft, T):
     off = T - n_fft + 1           # window start inside the 2-block view
     Wd = n_fft - 1 + T            # window width
     Wd_pad = _pad128(Wd)
@@ -302,7 +303,7 @@ def _istft_fused_call(Sr, Si, Frh, Frm, Frl, Fsh, Fsm, Fsl, *, n_fft,
     Si = jnp.pad(Si, pads)
 
     n_fft_pad = _pad8(n_fft)
-    kernel = _make_istft_kernel(n_fft, n_freqs_pad, T)
+    kernel = _make_istft_kernel(n_fft, T)
     blkA = pl.BlockSpec((1, n_freqs_pad, T), lambda b, j: (b, 0, j),
                         memory_space=pltpu.VMEM)
     blkB = pl.BlockSpec((1, n_freqs_pad, T), lambda b, j: (b, 0, j + 1),
@@ -377,22 +378,23 @@ def _istft_fused_fwd(static, Sr, Si, *Fs):
 
 
 def _istft_fused_bwd(static, res, g):
+    """Manual adjoint (the OLA scan is not linear_transpose-able):
+    the transpose of overlap-add IS framing — g_xbuf[t, n] = g[n + t] —
+    followed by the transposed irfft matmuls. Scan-based framing
+    (frames_T_scan; an unrolled slice stack compiles for minutes) and
+    HIGHEST precision so TPU gradients keep f32 accuracy."""
     n_fft, n_segs, _, fr_bytes, fs_bytes = static
-    B = g.shape[0]
     n_freqs = len(np.frombuffer(fr_bytes, np.float32)) // n_fft
     Fr = np.frombuffer(fr_bytes, np.float32).reshape(n_fft, n_freqs)
     Fs = np.frombuffer(fs_bytes, np.float32).reshape(n_fft, n_freqs)
 
-    def ref(Sr, Si):
-        xbuf = (jnp.einsum("tk,bkn->btn", jnp.asarray(Fr), Sr) -
-                jnp.einsum("tk,bkn->btn", jnp.asarray(Fs), Si))
-        # overlap-add via shifted pads (transpose-friendly XLA form)
-        L = n_segs + n_fft - 1
-        return sum(jnp.pad(xbuf[:, t, :], ((0, 0), (t, L - n_segs - t)))
-                   for t in range(n_fft))
-
-    shapes = (jax.ShapeDtypeStruct((B, n_freqs, n_segs), jnp.float32),) * 2
-    gSr, gSi = jax.linear_transpose(ref, *shapes)(g)
+    from .stft import frames_T_scan
+    g_xbuf = frames_T_scan(g, n_fft, 1)           # (B, n_fft, n_segs)
+    hp = jax.lax.Precision.HIGHEST
+    gSr = jnp.einsum("tk,btn->bkn", jnp.asarray(Fr), g_xbuf,
+                     precision=hp, preferred_element_type=jnp.float32)
+    gSi = -jnp.einsum("tk,btn->bkn", jnp.asarray(Fs), g_xbuf,
+                      precision=hp, preferred_element_type=jnp.float32)
     zb = jnp.zeros((_pad8(n_fft), _pad8(n_freqs)), jnp.bfloat16)
     return (gSr, gSi, zb, zb, zb, zb, zb, zb)
 

@@ -156,11 +156,23 @@ def chunked_stft(x, mesh: Mesh, window=None, n_fft=None, win_len=None,
             f"the {n_shards} time shards holds only {S} samples; lower "
             f"n_fft, use fewer time shards, or process a longer signal")
 
+    # pin the fused-kernel decision to the one the FULL transform makes
+    # (the gate depends on signal length; shard-local lengths could
+    # otherwise pick a different engine and break the bit-exactness
+    # contract vs ops.stft)
+    from ..config import use_pallas_kernels
+    from ..ops.stft_pallas import stft_fused_ok
+    force_fused = bool(
+        np.dtype(dtype) == np.float32 and hop_len == 1 and
+        use_pallas_kernels() and
+        stft_fused_ok(int(n_fft), int(N + n_fft - 1),
+                      4 if derivative else 2))
+
     def shard_fn(xs):
         xe = halo_extend(xs, axis_name, n_shards, Hl, Hr)
         Sx, dSx = stft_core(xe, window, diff_window, float(fs), n_fft=n_fft,
                             hop_len=hop_len, modulated=modulated,
-                            derivative=derivative)
+                            derivative=derivative, force_fused=force_fused)
         return (Sx, dSx) if derivative else Sx
 
     in_spec, out_spec = _specs(x.ndim, x.ndim + 1, axis_name,
