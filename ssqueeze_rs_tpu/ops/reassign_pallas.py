@@ -41,10 +41,12 @@ def _round_half_even(x):
 
 
 def _bin_indices(mode, params, gamma, flipud, transform, nf, tile, n_valid,
-                 wr, wi, dr, di, sfs):
+                 wr, wi, dr, di, sfs, tile_idx=None):
     """Shared fwd/bwd binning: (k, mask) from the phase transform and the
     analytic closed forms (reference algos.py:859-984). k = -1 where
-    masked (matches no bin)."""
+    masked (matches no bin). `tile_idx`: traced grid position of this
+    time tile (defaults to pl.program_id(0), the reassignment kernels'
+    grid layout; the fused ssq_stft kernel passes its own)."""
     omax_f = float(nf - 1)
     gamma2 = float(gamma) ** 2
     C, D, A, B = wr, wi, dr, di
@@ -58,8 +60,10 @@ def _bin_indices(mode, params, gamma, flipud, transform, nf, tile, n_valid,
     if n_valid % tile:
         # ragged last tile: inputs are NOT padded (saves 4 full-array
         # pad copies); columns past n_valid may hold garbage -> mask
+        if tile_idx is None:
+            tile_idx = pl.program_id(0)
         cols = (jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) +
-                pl.program_id(0) * tile)
+                tile_idx * tile)
         mask = mask & (cols < n_valid)
 
     wsafe = jnp.where(mask & (w > 0), w, 1.0)

@@ -44,14 +44,25 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
         raise ValueError("`ssq_freqs` must be linearly distributed for "
                          "`ssq_stft`")
 
-    from ..config import DEFAULTS
+    from ..config import DEFAULTS, use_pallas_kernels
     from .stft import MATMUL_NFFT_MAX
+    from .stft_pallas import stft_fused_ok
     N = jnp.shape(x)[-1]
     n_fft_eff = int(n_fft or min(N // hop_len, 512))
     planar = (str(dtype or DEFAULTS["dtype"]) == "float32" and
               n_fft_eff <= MATMUL_NFFT_MAX and squeezing == "sum" and
               not get_w)
     import jax
+
+    # whole-pipeline fused kernel: frames + DFT + phase + bin + scatter
+    # in ONE Pallas kernel — the Sx/dSx planes never round-trip HBM
+    # between the STFT and the squeezing (ops/stft_pallas.py)
+    mega = (planar and hop_len == 1 and not get_dWx and ssq_freqs is None
+            and use_pallas_kernels() and
+            stft_fused_ok(n_fft_eff, N + n_fft_eff - 1, 4))
+    if mega:
+        return _ssq_stft_mega(x, window, n_fft_eff, win_len, fs, modulated,
+                              padtype, gamma, dtype, flipud)
     # keep the MXU matmul and the reassignment kernel in separate XLA
     # computations: fusing the matmul's output transforms into the Pallas
     # operand prep regresses the matmul ~10x
@@ -97,6 +108,46 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
     elif get_dWx:
         return Tx, Sx, ssq_freqs, Sfs, dSx
     return Tx, Sx, ssq_freqs, Sfs
+
+
+def _ssq_stft_mega(x, window, n_fft, win_len, fs, modulated, padtype,
+                   gamma, dtype, flipud):
+    """Fully fused ssq_stft fast path (one Pallas kernel; hop=1, sum
+    squeezing, default ssq_freqs). Host planning mirrors the generic
+    path exactly: same window/DFT matrices, same plan_reassignment."""
+    import jax.numpy as jnp
+    from ..utils.pad import padsignal
+    from .stft import _dft_matrix
+    from .stft_pallas import ssq_stft_fused
+    from .ssqueeze import plan_reassignment
+
+    N = jnp.shape(x)[-1]
+    if win_len is None:
+        win_len = (len(window)
+                   if isinstance(window, (np.ndarray, jnp.ndarray))
+                   else n_fft)
+    window, diff_window = get_window(window, int(win_len), n_fft,
+                                     derivative=True, dtype="float32")
+    check_nola(window, 1)
+    F1 = _dft_matrix(window, n_fft, modulated)
+    F2 = _dft_matrix(diff_window, n_fft, modulated)
+    K_T = np.ascontiguousarray(np.concatenate(
+        [F1.real, F1.imag, F2.real, F2.imag], axis=1).T).astype(np.float32)
+
+    nf = n_fft // 2 + 1
+    Sfs = np.linspace(0, 0.5 * fs, nf, dtype=np.float32)
+    const_arr, mode, params = plan_reassignment(Sfs, nf, False,
+                                                transform="stft")
+    const_arr = np.broadcast_to(np.asarray(const_arr, np.float32), (nf,))
+    if gamma is None:
+        gamma = 10 * EPS32
+
+    xx = jnp.asarray(x).astype("float32")
+    xp = padsignal(xx, padtype, padlength=N + n_fft - 1)
+    Tx, Sx = ssq_stft_fused(xp, K_T, n_fft, N, fs, Sfs, const_arr,
+                            float(gamma), params, mode, bool(flipud))
+    ssq_freqs_out = Sfs[::-1] if flipud else Sfs
+    return Tx, Sx, ssq_freqs_out, Sfs
 
 
 def issq_stft(Tx, window=None, cc=None, cw=None, n_fft=None, win_len=None,

@@ -400,3 +400,171 @@ def _istft_fused_bwd(static, res, g):
 
 
 _istft_fused_vjp.defvjp(_istft_fused_fwd, _istft_fused_bwd)
+
+
+# -- fully fused ssq_stft: frames + DFT + phase + bin + scatter ---------------
+def _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode, params, gamma,
+                          flipud, n_valid):
+    """One kernel = the whole ssq_stft hot path per time tile: Hankel
+    frame build, the 4 stacked windowed-DFT matmuls (Sx, dSx planes),
+    the phase transform + analytic linear binning, and the one-hot
+    reassignment accumulate — Sx/dSx planes never round-trip HBM
+    between the STFT and the squeezing (they are produced AND consumed
+    in VMEM)."""
+    from .reassign_pallas import _bin_indices
+    Y = T + nf_pad
+
+    def kernel(x_ref, fs_ref, wh_ref, wm_ref, wl_ref, const_ref, sfs_ref,
+               txr_ref, txi_ref, sxr_ref, sxi_ref, y_ref, f_ref, s_ref,
+               k_ref, vr_ref, vi_ref):
+        j = pl.program_id(1)
+        # Hankel frame build (see _make_kernel)
+        y_ref[0, :] = x_ref[0, 0, pl.ds(j * T, Y)]
+        y = y_ref[0]
+        for r in range(n_fft):
+            f_ref[r, :] = y[r:r + T]
+        if nf_pad > n_fft:
+            f_ref[n_fft:, :] = jnp.zeros((nf_pad - n_fft, T), jnp.float32)
+
+        X = f_ref[:]
+        xh = X.astype(jnp.bfloat16)
+        r1 = X - xh.astype(jnp.float32)
+        xm = r1.astype(jnp.bfloat16)
+        xl = (r1 - xm.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+        s_ref[:] = d(wh_ref[:], xh)
+        s_ref[:] += d(wh_ref[:], xm)
+        s_ref[:] += d(wh_ref[:], xl)
+        s_ref[:] += d(wm_ref[:], xh)
+        s_ref[:] += d(wm_ref[:], xm)
+        s_ref[:] += d(wl_ref[:], xh)
+
+        S = s_ref[:]
+        fsv = fs_ref[0, 0, 0]
+        sxr = S[0:nf8]
+        sxi = S[nf8:2 * nf8]
+        dsr = S[2 * nf8:3 * nf8] * fsv
+        dsi = S[3 * nf8:] * fsv
+        sxr_ref[0] = sxr
+        sxi_ref[0] = sxi
+
+        # reassignment (see reassign_pallas._make_kernel; rows beyond nf
+        # come from zero-padded W rows -> mag2 = 0 -> masked out)
+        k, mask = _bin_indices(mode, params, gamma, flipud, "stft", nf,
+                               T, n_valid, sxr, sxi, dsr, dsi,
+                               sfs_ref[:], tile_idx=j)
+        cb = const_ref[:]
+        k_ref[:] = k
+        vr_ref[:] = jnp.where(mask, sxr * cb, 0.0)
+        vi_ref[:] = jnp.where(mask, sxi * cb, 0.0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nf8, T), 0)
+        txr_ref[0] = jnp.zeros((nf8, T), jnp.float32)
+        txi_ref[0] = jnp.zeros((nf8, T), jnp.float32)
+
+        def body(i, _):
+            ki = k_ref[pl.ds(i, 1), :]
+            onehot = rows == ki
+            txr_ref[0] += jnp.where(onehot, vr_ref[pl.ds(i, 1), :], 0.0)
+            txi_ref[0] += jnp.where(onehot, vi_ref[pl.ds(i, 1), :], 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, nf, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_fft", "nf", "n_out", "mode", "plan", "gamma_f", "flipud",
+    "interpret"))
+def _ssq_stft_fused_call(xp, fs, Wh, Wm, Wl, const_arr, Sfs, *, n_fft, nf,
+                         n_out, mode, plan, gamma_f, flipud, interpret):
+    """xp: (B, Mp) f32 padded signal. Returns (txr, txi, sxr, sxi) each
+    (B, nf, n_out) f32. W consts are per-matrix padded to nf8 rows
+    (4 * nf8 total, [Sr; Si; dSr; dSi] blocks)."""
+    B, Mp = xp.shape
+    T = _tile()
+    nT = -(-n_out // T)
+    nf_pad = _pad128(n_fft)
+    nf8 = _pad8(nf)
+    need = (nT - 1) * T + T + nf_pad
+    Mp_pad = _pad128(max(need, Mp))
+    xp = jnp.pad(xp, ((0, 0), (0, Mp_pad - Mp)))[:, None, :]
+
+    kernel = _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode,
+                                   dict(plan), gamma_f, flipud,
+                                   n_valid=n_out)
+    cspec = pl.BlockSpec(Wh.shape, lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    colspec = pl.BlockSpec((nf8, 1), lambda b, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out3 = pl.BlockSpec((1, nf8, T), lambda b, j: (b, 0, j),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, nT),
+        in_specs=[
+            pl.BlockSpec((1, 1, Mp_pad), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            cspec, cspec, cspec, colspec, colspec,
+        ],
+        out_specs=(out3, out3, out3, out3),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, nf8, nT * T), jnp.float32)
+            for _ in range(4)),
+        scratch_shapes=[pltpu.VMEM((1, T + nf_pad), jnp.float32),
+                        pltpu.VMEM((nf_pad, T), jnp.float32),
+                        pltpu.VMEM((4 * nf8, T), jnp.float32),
+                        pltpu.VMEM((nf8, T), jnp.int32),
+                        pltpu.VMEM((nf8, T), jnp.float32),
+                        pltpu.VMEM((nf8, T), jnp.float32)],
+        interpret=interpret,
+        **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024))),
+    )(xp, jnp.broadcast_to(jnp.asarray(fs, jnp.float32).reshape(1, 1, 1),
+                           (1, 1, 128)),
+      Wh, Wm, Wl,
+      jnp.pad(const_arr.astype(jnp.float32), (0, nf8 - nf))[:, None],
+      jnp.pad(Sfs.astype(jnp.float32), (0, nf8 - nf))[:, None])
+    return tuple(o[:, :nf, :n_out] for o in outs)
+
+
+@functools.lru_cache(maxsize=32)
+def _ssq_w_consts(k_bytes, n_freqs, n_fft):
+    """W consts for the fused ssq_stft kernel: the 4 stacked matrices
+    each padded to nf8 rows so the in-kernel block slices stay
+    8-aligned."""
+    K_T = np.frombuffer(k_bytes, np.float32).reshape(4 * n_freqs, n_fft)
+    nf8 = _pad8(n_freqs)
+    W = np.zeros((4 * nf8, _pad128(n_fft)), np.float32)
+    for m in range(4):
+        W[m * nf8:m * nf8 + n_freqs, :n_fft] = \
+            K_T[m * n_freqs:(m + 1) * n_freqs]
+    return _split3_bf16_np(W)
+
+
+def ssq_stft_fused(xp, K_T_np, n_fft: int, n_out: int, fs, Sfs, const_arr,
+                   gamma, plan_params, mode: str, flipud: bool,
+                   interpret=None):
+    """Whole-pipeline fused ssq_stft (hop=1): returns complex
+    (Tx, Sx) of shape (..., n_freqs, n_out). `K_T_np`: HOST
+    (4*n_freqs, n_fft) stacked [Sr; Si; dSr; dSi] DFT matrices
+    (fs NOT folded — passed as a runtime scalar)."""
+    if interpret is None:
+        interpret = interpret_mode()
+    n_freqs = K_T_np.shape[0] // 4
+    k_bytes = K_T_np.astype(np.float32).tobytes()
+    Wh, Wm, Wl = _ssq_w_consts(k_bytes, n_freqs, n_fft)
+    plan = tuple(sorted((k, float(v)) for k, v in plan_params.items()))
+    batch = xp.shape[:-1]
+    b = int(np.prod(batch)) if batch else 1
+    txr, txi, sxr, sxi = _ssq_stft_fused_call(
+        xp.reshape(b, xp.shape[-1]), fs, jnp.asarray(Wh), jnp.asarray(Wm),
+        jnp.asarray(Wl), jnp.asarray(const_arr), jnp.asarray(Sfs),
+        n_fft=n_fft, nf=n_freqs, n_out=n_out, mode=mode, plan=plan,
+        gamma_f=float(gamma), flipud=bool(flipud), interpret=interpret)
+    shp = batch + (n_freqs, n_out)
+    Tx = jax.lax.complex(txr, txi).reshape(shp)
+    Sx = jax.lax.complex(sxr, sxi).reshape(shp)
+    return Tx, Sx

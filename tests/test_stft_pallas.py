@@ -126,3 +126,35 @@ def test_fused_istft_round_trip_and_grad(monkeypatch):
     _clear()
     rel = np.abs(g1 - g0).max() / np.abs(g0).max()
     assert rel < 1e-4, rel
+
+
+@pytest.mark.parametrize("flipud", [False, True])
+def test_mega_fused_ssq_stft_matches_two_kernel_path(monkeypatch, flipud):
+    """The whole-pipeline fused ssq_stft kernel == the generic
+    stft->reassign route (same planes, same binning math)."""
+    from ssqueeze_rs_tpu import ssq_stft
+
+    rng = np.random.default_rng(6)
+    N = 3000
+    t = np.arange(N) / 1000.0
+    x = (np.cos(2 * np.pi * 97 * t) +
+         0.2 * rng.standard_normal(N)).astype(np.float32)
+
+    def run():
+        Tx, Sx, fr, Sfs = ssq_stft(x, n_fft=256, fs=1000.0,
+                                   dtype="float32", flipud=flipud)
+        return [np.asarray(a) for a in (Tx, Sx, fr, Sfs)]
+
+    (T1, S1, f1, sf1), (T0, S0, f0, sf0) = _ab(monkeypatch, run)
+    assert T1.shape == T0.shape and S1.shape == S0.shape
+    assert np.array_equal(f1, f0) and np.array_equal(sf1, sf0)
+    # Sx: pure linear pipeline, tight
+    rel = np.abs(S1 - S0).max() / np.abs(S0).max()
+    assert rel < 2e-6, rel
+    # Tx: ulp-level phase differences flip isolated bins between the
+    # routes (and |.| marginals are not invariant under redistribution);
+    # measured ~1.6e-4 on noise — bound at 1e-3
+    col1 = np.abs(T1).sum(axis=0)
+    col0 = np.abs(T0).sum(axis=0)
+    assert np.abs(col1 - col0).max() / col0.max() < 1e-3
+    assert np.isclose(np.abs(T1).sum(), np.abs(T0).sum(), rtol=1e-5)
