@@ -1,21 +1,37 @@
-"""Fused Pallas windowed-DFT STFT kernel (hop=1 fast path).
+"""Fused Pallas STFT-family kernels (hop=1 fast paths).
 
-The XLA matmul STFT materializes the (n_fft, n_out) frame matrix in HBM
-(383 MB at 598x160k, written by a sequential scan, then re-read by the
-dot's HIGHEST-precision passes). This kernel keeps framing entirely in
-VMEM: per time tile it copies the tile's signal window (T + n_fft
-samples) once, builds the Hankel frame matrix with n_fft STATIC row
-slices (unrolled at trace time — no dynamic addressing in the loop),
-and runs the windowed-DFT matmuls in bf16x6 (Mosaic supports only
-DEFAULT dot precision; 3-way splits of both operands give ~5e-7
-relative, well inside the 5e-6 bar the HIGHEST XLA path was validated
-against). HBM traffic collapses to the signal (read once) + the output
-planes. Measured at 598 x 160k hop=1: stft 21.0 -> 9.0 ms,
-stft+derivative 20.5 -> 14.3 ms, ssq_stft end-to-end 46 -> 36.5 ms.
+Three kernels, all built on the same trick — the tile's signal window
+is copied to VMEM once and the Hankel frame matrix is built with n_fft
+STATIC row slices (trace-time unrolled), so the (n_fft, n_out) frame
+matrix never exists in HBM (383 MB at 598x160k on the XLA path, written
+by a sequential scan and re-read by the HIGHEST dot's passes):
+
+  * `stft_dft_fused` — framing + the stacked windowed-DFT matmuls.
+    Measured: stft 21.0 -> 7.9 ms, stft+derivative 20.5 -> 14.3 ms.
+  * `istft_ola_fused` — the mirror direction: irfft matmul +
+    overlap-add in VMEM (two adjacent column blocks per tile cover the
+    OLA window for n_fft <= 1025). Honest result: 18.2 -> 17.5 ms
+    (istft is bounded by c64->plane conversion + inherent 2x block
+    reads); round trip 27.6 -> 21.2 ms.
+  * `ssq_stft_fused` — the WHOLE ssq_stft hot path in one kernel:
+    frames + DFT + phase transform + analytic binning + one-hot
+    reassignment; the Sx/dSx planes are produced and consumed in VMEM.
+    ssq_stft end-to-end 38.2 -> 34.0 ms (4.68x vs the published GPU
+    baseline). Possible because this family is column-tiled exactly
+    like the reassignment kernel (the CWT path is row-tiled — no such
+    fusion exists there; see docs/DESIGN.md).
+
+Matmuls run in bf16x6 (Mosaic supports only DEFAULT dot precision;
+3-way splits of both operands give ~5e-7 relative — 2-way splits cap at
+~2^-18 ~ 5e-6, measured right AT the validation bar). All kernels are
+linear in their data inputs; custom_vjp backwards are MANUAL adjoints
+(transpose of framing = overlap-add and vice versa) on the production
+scan helpers at HIGHEST precision.
 
 Reference behavior covered: the modulated windowed rfft + derivative
 window of old/ssqueezepy/_stft.py:127-147 (matrices folded host-side by
-ops/stft._dft_matrix).
+ops/stft._dft_matrix) and the fused phase+bin+scatter of
+old/ssqueezepy/algos.py:859-984.
 """
 from __future__ import annotations
 
@@ -29,7 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import interpret_mode
 
-__all__ = ["stft_dft_fused", "stft_fused_ok"]
+__all__ = ["stft_dft_fused", "stft_fused_ok", "istft_ola_fused",
+           "istft_fused_ok", "ssq_stft_fused"]
 
 
 def _pad8(n):
