@@ -46,7 +46,7 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
 
     from ..config import DEFAULTS, use_pallas_kernels
     from .stft import MATMUL_NFFT_MAX
-    from .stft_pallas import stft_fused_ok
+    from .stft_pallas import ssq_stft_fused_ok
     N = jnp.shape(x)[-1]
     n_fft_eff = int(n_fft or min(N // hop_len, 512))
     planar = (str(dtype or DEFAULTS["dtype"]) == "float32" and
@@ -59,7 +59,7 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
     # between the STFT and the squeezing (ops/stft_pallas.py)
     mega = (planar and hop_len == 1 and not get_dWx and ssq_freqs is None
             and use_pallas_kernels() and
-            stft_fused_ok(n_fft_eff, N + n_fft_eff - 1, 4))
+            ssq_stft_fused_ok(n_fft_eff, N + n_fft_eff - 1))
     if mega:
         return _ssq_stft_mega(x, window, n_fft_eff, win_len, fs, modulated,
                               padtype, gamma, dtype, flipud)
@@ -115,7 +115,6 @@ def _ssq_stft_mega(x, window, n_fft, win_len, fs, modulated, padtype,
     """Fully fused ssq_stft fast path (one Pallas kernel; hop=1, sum
     squeezing, default ssq_freqs). Host planning mirrors the generic
     path exactly: same window/DFT matrices, same plan_reassignment."""
-    import jax.numpy as jnp
     from ..utils.pad import padsignal
     from .stft import _dft_matrix
     from .stft_pallas import ssq_stft_fused

@@ -100,37 +100,42 @@ def _w_consts(k_bytes, rows, n_fft):
     return _split3_bf16_np(W)
 
 
-def _make_kernel(n_fft, nf_pad, T, rows_pad):
+def _frames_dft_into(dst, x_ref, j, y_ref, f_ref, wh_ref, wm_ref, wl_ref,
+                     n_fft, nf_pad, T):
+    """Shared kernel block: Hankel frame build (one dynamic copy of the
+    tile's signal window, then n_fft STATIC row slices — trace-time
+    unrolled) followed by the bf16x6 stacked windowed-DFT dots,
+    accumulated into `dst` one at a time. bf16x6 = 3-way splits of both
+    operands, dropping terms below 2^-27 (~1e-8 relative, well inside
+    the 5e-6 bar the HIGHEST XLA path was validated against; 2-way
+    splits cap at ~2^-18 ~ 5e-6, measured right AT the bar). The extra
+    dots are free — the kernels' MXU share is negligible."""
     Y = T + nf_pad
+    y_ref[0, :] = x_ref[0, 0, pl.ds(j * T, Y)]
+    y = y_ref[0]
+    for r in range(n_fft):
+        f_ref[r, :] = y[r:r + T]
+    if nf_pad > n_fft:   # zero pad rows once (W cols there are 0 too)
+        f_ref[n_fft:, :] = jnp.zeros((nf_pad - n_fft, T), jnp.float32)
 
+    X = f_ref[:]
+    xh = X.astype(jnp.bfloat16)
+    r1 = X - xh.astype(jnp.float32)
+    xm = r1.astype(jnp.bfloat16)
+    xl = (r1 - xm.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    dst[:] = d(wh_ref[:], xh)
+    dst[:] += d(wh_ref[:], xm)
+    dst[:] += d(wh_ref[:], xl)
+    dst[:] += d(wm_ref[:], xh)
+    dst[:] += d(wm_ref[:], xm)
+    dst[:] += d(wl_ref[:], xh)
+
+
+def _make_kernel(n_fft, nf_pad, T, rows_pad):
     def kernel(x_ref, wh_ref, wm_ref, wl_ref, out_ref, y_ref, f_ref):
-        j = pl.program_id(1)
-        # one dynamic copy of the tile's signal window, then the Hankel
-        # frame build is n_fft STATIC row slices (trace-time unrolled)
-        y_ref[0, :] = x_ref[0, 0, pl.ds(j * T, Y)]
-        y = y_ref[0]
-        for r in range(n_fft):
-            f_ref[r, :] = y[r:r + T]
-        if nf_pad > n_fft:   # zero pad rows once (W cols there are 0 too,
-            f_ref[n_fft:, :] = jnp.zeros((nf_pad - n_fft, T), jnp.float32)
-
-        X = f_ref[:]
-        xh = X.astype(jnp.bfloat16)
-        r1 = X - xh.astype(jnp.float32)
-        xm = r1.astype(jnp.bfloat16)
-        xl = (r1 - xm.astype(jnp.float32)).astype(jnp.bfloat16)
-        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
-        # bf16x6: 3-way splits of both operands, dropping terms below
-        # 2^-27 — ~1e-8 relative, well inside the 5e-6 bar the HIGHEST
-        # XLA path was validated against (a 2-way split caps at ~2^-18
-        # ~ 5e-6, measured right AT the bar). The extra dots are free
-        # (the kernel's MXU share is negligible).
-        out_ref[0] = d(wh_ref[:], xh)
-        out_ref[0] += d(wh_ref[:], xm)
-        out_ref[0] += d(wh_ref[:], xl)
-        out_ref[0] += d(wm_ref[:], xh)
-        out_ref[0] += d(wm_ref[:], xm)
-        out_ref[0] += d(wl_ref[:], xh)
+        _frames_dft_into(out_ref.at[0], x_ref, pl.program_id(1), y_ref,
+                         f_ref, wh_ref, wm_ref, wl_ref, n_fft, nf_pad, T)
 
     return kernel
 
@@ -429,32 +434,13 @@ def _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode, params, gamma,
     between the STFT and the squeezing (they are produced AND consumed
     in VMEM)."""
     from .reassign_pallas import _bin_indices
-    Y = T + nf_pad
 
     def kernel(x_ref, fs_ref, wh_ref, wm_ref, wl_ref, const_ref, sfs_ref,
                txr_ref, txi_ref, sxr_ref, sxi_ref, y_ref, f_ref, s_ref,
                k_ref, vr_ref, vi_ref):
         j = pl.program_id(1)
-        # Hankel frame build (see _make_kernel)
-        y_ref[0, :] = x_ref[0, 0, pl.ds(j * T, Y)]
-        y = y_ref[0]
-        for r in range(n_fft):
-            f_ref[r, :] = y[r:r + T]
-        if nf_pad > n_fft:
-            f_ref[n_fft:, :] = jnp.zeros((nf_pad - n_fft, T), jnp.float32)
-
-        X = f_ref[:]
-        xh = X.astype(jnp.bfloat16)
-        r1 = X - xh.astype(jnp.float32)
-        xm = r1.astype(jnp.bfloat16)
-        xl = (r1 - xm.astype(jnp.float32)).astype(jnp.bfloat16)
-        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
-        s_ref[:] = d(wh_ref[:], xh)
-        s_ref[:] += d(wh_ref[:], xm)
-        s_ref[:] += d(wh_ref[:], xl)
-        s_ref[:] += d(wm_ref[:], xh)
-        s_ref[:] += d(wm_ref[:], xm)
-        s_ref[:] += d(wl_ref[:], xh)
+        _frames_dft_into(s_ref, x_ref, j, y_ref, f_ref, wh_ref, wm_ref,
+                         wl_ref, n_fft, nf_pad, T)
 
         S = s_ref[:]
         fsv = fs_ref[0, 0, 0]
@@ -561,13 +547,75 @@ def _ssq_w_consts(k_bytes, n_freqs, n_fft):
     return _split3_bf16_np(W)
 
 
+def ssq_stft_fused_ok(n_fft: int, Mp: int) -> bool:
+    """VMEM gate for the MEGA kernel: the stft-shaped estimate plus the
+    mega kernel's extra working set (S scratch 4*nf8*T, k/vr/vi, and
+    the one-hot loop's (nf8, T) temporaries)."""
+    if not stft_fused_ok(n_fft, Mp, 4):
+        return False
+    T = _tile()
+    nf8 = _pad8(n_fft // 2 + 1)
+    extra = (4 * nf8 * T * 4          # S scratch
+             + 3 * nf8 * T * 4        # k / vr / vi scratches
+             + 10 * nf8 * T * 4)      # _bin_indices + one-hot temporaries
+    return extra < 30 * 1024 * 1024
+
+
+# -- autodiff: backward delegates to the differentiable two-kernel route ------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ssq_mega_vjp(static, xp, fs, Wh, Wm, Wl, const_arr, Sfs):
+    (n_fft, nf, n_out, mode, plan, gamma_f, flipud, interpret,
+     _k_bytes) = static
+    return _ssq_stft_fused_call(xp, fs, Wh, Wm, Wl, const_arr, Sfs,
+                                n_fft=n_fft, nf=nf, n_out=n_out,
+                                mode=mode, plan=plan, gamma_f=gamma_f,
+                                flipud=flipud, interpret=interpret)
+
+
+def _ssq_mega_fwd(static, xp, fs, Wh, Wm, Wl, const_arr, Sfs):
+    out = _ssq_mega_vjp(static, xp, fs, Wh, Wm, Wl, const_arr, Sfs)
+    return out, (xp, fs, const_arr, Sfs)
+
+
+def _ssq_mega_bwd(static, res, g):
+    """Gradient via the two-kernel route (stft_dft_fused +
+    reassign_pallas), whose custom VJPs define the piecewise-constant-bin
+    semantics; same math, so cotangents match the fused forward."""
+    (n_fft, nf, n_out, mode, plan, gamma_f, flipud, interpret,
+     k_bytes) = static
+    xp, fs, const_arr, Sfs = res
+    K_T = np.frombuffer(k_bytes, np.float32).reshape(4 * nf, n_fft)
+
+    def ref(xp, fs):
+        from .reassign_pallas import reassign_pallas
+        planes = stft_dft_fused(xp, K_T, n_fft, n_out,
+                                interpret=interpret)
+        sxr, sxi = planes[:, :nf], planes[:, nf:2 * nf]
+        dsr = planes[:, 2 * nf:3 * nf] * fs
+        dsi = planes[:, 3 * nf:] * fs
+        Tx = reassign_pallas((sxr, sxi), (dsr, dsi), const_arr, gamma_f,
+                             Sfs, dict(plan), mode=mode, flipud=flipud,
+                             transform="stft", nf=nf, interpret=interpret)
+        return Tx.real, Tx.imag, sxr, sxi
+
+    _, vjp = jax.vjp(ref, xp, fs)
+    gxp, gfs = vjp(g)
+    zW = jnp.zeros((4 * _pad8(nf), _pad128(n_fft)), jnp.bfloat16)
+    return (gxp, gfs, zW, zW, zW, jnp.zeros_like(const_arr),
+            jnp.zeros_like(Sfs))
+
+
+_ssq_mega_vjp.defvjp(_ssq_mega_fwd, _ssq_mega_bwd)
+
+
 def ssq_stft_fused(xp, K_T_np, n_fft: int, n_out: int, fs, Sfs, const_arr,
                    gamma, plan_params, mode: str, flipud: bool,
                    interpret=None):
     """Whole-pipeline fused ssq_stft (hop=1): returns complex
     (Tx, Sx) of shape (..., n_freqs, n_out). `K_T_np`: HOST
     (4*n_freqs, n_fft) stacked [Sr; Si; dSr; dSi] DFT matrices
-    (fs NOT folded — passed as a runtime scalar)."""
+    (fs NOT folded — passed as a runtime scalar). Differentiable
+    (custom_vjp; backward runs the two-kernel route)."""
     if interpret is None:
         interpret = interpret_mode()
     n_freqs = K_T_np.shape[0] // 4
@@ -576,11 +624,13 @@ def ssq_stft_fused(xp, K_T_np, n_fft: int, n_out: int, fs, Sfs, const_arr,
     plan = tuple(sorted((k, float(v)) for k, v in plan_params.items()))
     batch = xp.shape[:-1]
     b = int(np.prod(batch)) if batch else 1
-    txr, txi, sxr, sxi = _ssq_stft_fused_call(
-        xp.reshape(b, xp.shape[-1]), fs, jnp.asarray(Wh), jnp.asarray(Wm),
-        jnp.asarray(Wl), jnp.asarray(const_arr), jnp.asarray(Sfs),
-        n_fft=n_fft, nf=n_freqs, n_out=n_out, mode=mode, plan=plan,
-        gamma_f=float(gamma), flipud=bool(flipud), interpret=interpret)
+    txr, txi, sxr, sxi = _ssq_mega_vjp(
+        (n_fft, n_freqs, n_out, mode, plan, float(gamma), bool(flipud),
+         interpret, k_bytes),
+        xp.reshape(b, xp.shape[-1]), jnp.asarray(fs, jnp.float32),
+        jnp.asarray(Wh), jnp.asarray(Wm), jnp.asarray(Wl),
+        jnp.asarray(const_arr, jnp.float32),
+        jnp.asarray(Sfs, jnp.float32))
     shp = batch + (n_freqs, n_out)
     Tx = jax.lax.complex(txr, txi).reshape(shp)
     Sx = jax.lax.complex(sxr, sxi).reshape(shp)
