@@ -76,9 +76,10 @@ _FB_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
 _FB_CACHE_MAX = 8   # entries are ~na*M/2*4 bytes (~150 MB at (300, 2^18))
 
 
-def _cache_filterbank(wavelet: Wavelet, scales_np, M: int) -> str:
-    token = (wavelet.name, hash((wavelet.params, scales_np.tobytes(), M)))
-    token = f"{token[0]}:{token[1]:x}"
+def _cache_filterbank(wavelet: Wavelet, scales_np, M: int):
+    # the FULL tuple is the key (a truncated hash token could silently
+    # alias two filterbanks on collision — ADVICE r2)
+    token = (wavelet.name, wavelet.params, scales_np.tobytes(), M)
     if token in _FB_CACHE:
         _FB_CACHE.move_to_end(token)
     else:

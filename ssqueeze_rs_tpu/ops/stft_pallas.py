@@ -200,6 +200,13 @@ def stft_dft_fused(xp, K_T_np, n_fft: int, n_out: int, interpret=None):
     Wh, Wm, Wl = _w_consts(k_bytes, rows, n_fft)
     batch = xp.shape[:-1]
     Mp = xp.shape[-1]
+    # contract required by the custom_vjp backward, which rebuilds the
+    # input cotangent at exactly this length (ADVICE r2): a longer xp
+    # would pass forward but break under jax.grad
+    if Mp != n_out + n_fft - 1:
+        raise ValueError(
+            f"stft_dft_fused requires xp.shape[-1] == n_out + n_fft - 1 "
+            f"(= {n_out + n_fft - 1}); got {Mp}")
     b = int(np.prod(batch)) if batch else 1
     out = _stft_fused_vjp(
         (n_fft, rows, n_out, interpret, k_bytes),

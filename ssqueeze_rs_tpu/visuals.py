@@ -44,9 +44,11 @@ def _apply_ticklabels(ax, xticks, yticks):
                                    ax.set_xticklabels)):
         if vals is None:
             continue
-        if not hasattr(vals, "__len__") and not vals:
-            setter([])
-            continue
+        if not hasattr(vals, "__len__"):
+            if not vals:          # falsy scalar (0 / False): hide ticks
+                setter([])
+                continue
+            vals = np.atleast_1d(vals)   # truthy scalar: single tick
         vals = np.asarray(vals)
         idxs = np.linspace(0, len(vals) - 1, min(8, len(vals))).astype(int)
         setter(idxs)

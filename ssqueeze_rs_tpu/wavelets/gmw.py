@@ -21,7 +21,9 @@ pi = np.pi
 
 
 def morsefreq(gamma: float, beta: float, n_out: int = 1):
-    """GMW frequency measures (radian): peak, energy, instantaneous
+    """GMW frequency measures (radian): peak, energy, instantaneous, and
+    (n_out=4) the curvature of the instantaneous frequency at the wavelet
+    center, from the 2nd/3rd frequency cumulants
     (reference: old/ssqueezepy/_gmw.py:611-657)."""
     wm = (beta / gamma) ** (1 / gamma)
     if n_out == 1:
@@ -31,7 +33,66 @@ def morsefreq(gamma: float, beta: float, n_out: int = 1):
     if n_out == 2:
         return wm, we
     wi = gamma_fn((beta + 2) / gamma) / gamma_fn((beta + 1) / gamma)
-    return wm, we, wi
+    if n_out == 3:
+        return wm, we, wi
+    k2 = _morsemom(2, gamma, beta, n_out=3)[-1]
+    k3 = _morsemom(3, gamma, beta, n_out=3)[-1]
+    cwi = -(k3 / k2 ** 1.5)
+    return wm, we, wi, cwi
+
+
+def _morsef(gamma, beta):
+    """Normalized first frequency-domain moment of the order-1 GMW:
+    f_{beta,gamma} = Gamma((beta+1)/gamma) / (2*pi*gamma)
+    (reference: old/ssqueezepy/_gmw.py:690-694). Vectorized over `beta`."""
+    return gamma_fn((np.asarray(beta) + 1) / gamma) / (2 * pi * gamma)
+
+
+def _morsemom(p, gamma: float, beta: float, n_out: int = 4):
+    """Frequency-domain p-th order (energy) moments and cumulants of the
+    order-1 GMW under bandpass normalization
+    (reference parity: old/ssqueezepy/_gmw.py:660-725):
+
+        Mp = A(gamma,beta) * f_{beta+p,gamma}          (moment)
+        Np = 2 / 2^((1+p)/gamma) * Mp[beta -> 2*beta]  (energy moment)
+        Kp = p-th cumulant of [M0..Mp]
+        Lp = p-th cumulant of [N0..Np]
+
+    Returns Mp | (Mp, Np) | (Mp, Np, Kp) | (Mp, Np, Kp, Lp) per n_out.
+    `p` may be an int or a 1D array (moments/energy-moments vectorize)."""
+    mom = lambda q, b: morseafun(gamma, b, k=1) * _morsef(
+        gamma, np.asarray(b) + q)
+    Mp = mom(p, beta)
+    if n_out == 1:
+        return Mp
+    Np = (2 / 2 ** ((1 + np.asarray(p, dtype=np.float64)) / gamma)
+          ) * mom(p, 2 * beta)
+    if n_out == 2:
+        return Mp, Np
+    prange = np.arange(int(np.max(p)) + 1)
+    Kp = _moments_to_cumulants(mom(prange, beta))[p]
+    if n_out == 3:
+        return Mp, Np, Kp
+    Lp = _moments_to_cumulants(
+        (2 / 2 ** ((1 + prange) / gamma)) * mom(prange, 2 * beta))[p]
+    return Mp, Np, Kp, Lp
+
+
+def _moments_to_cumulants(moments):
+    """First-N cumulants [K0..K{N-1}] from first-N raw moments
+    [M0..M{N-1}] via the standard recurrence
+    K0 = ln(M0);  Kn = Mn/M0 - sum_{k=1}^{n-1} C(n-1,k-1)*Kk*M_{n-k}/M0
+    (reference parity: old/ssqueezepy/_gmw.py:727-747)."""
+    from math import comb
+    m = np.atleast_1d(np.asarray(moments, dtype=np.float64).squeeze())
+    assert m.ndim == 1
+    kc = np.zeros(len(m))
+    kc[0] = np.log(m[0])
+    for n in range(1, len(m)):
+        acc = sum(comb(n - 1, k - 1) * kc[k] * (m[n - k] / m[0])
+                  for k in range(1, n))
+        kc[n] = m[n] / m[0] - acc
+    return kc
 
 
 def gmw_k_constants(gamma: float, beta: float, k: int, norm: str = "bandpass"):

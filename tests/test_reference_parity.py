@@ -306,3 +306,31 @@ def test_wavelet_factory_parity():
                 assert np.allclose(got[1], want[1], atol=1e-10)
             else:
                 assert np.allclose(got, want, atol=1e-10)
+
+
+def test_morsemom_parity():
+    """GMW moments -> cumulants + morsefreq(n_out=4) curvature vs the
+    reference (_gmw.py:611-747) over a (gamma, beta) grid, 1e-10."""
+    from ssqueezepy._gmw import _morsemom as ref_morsemom
+    from ssqueezepy._gmw import morsefreq as ref_morsefreq
+    from ssqueeze_rs_tpu.wavelets.gmw import _morsemom, morsefreq
+
+    for gamma in (1.5, 2.0, 3.0, 4.5):
+        for beta in (1.0, 5.0, 20.0, 60.0):
+            for p in (0, 1, 2, 3):
+                got = _morsemom(p, gamma, beta, n_out=4)
+                want = ref_morsemom(p, gamma, beta, n_out=4)
+                for g, w_ in zip(got, want):
+                    assert np.allclose(g, w_, rtol=1e-10), \
+                        (gamma, beta, p, got, want)
+            got4 = morsefreq(gamma, beta, n_out=4)
+            want4 = ref_morsefreq(gamma, beta, n_out=4)
+            assert np.allclose(got4, want4, rtol=1e-10), (gamma, beta)
+
+    # vectorized-p path (array moments / energy moments)
+    p_arr = np.arange(4)
+    got = _morsemom(p_arr, 3.0, 60.0, n_out=2)
+    want = np.array([ref_morsemom(int(p), 3.0, 60.0, n_out=2)
+                     for p in p_arr]).T
+    assert np.allclose(got[0], want[0], rtol=1e-12)
+    assert np.allclose(got[1], want[1], rtol=1e-12)
