@@ -65,7 +65,7 @@ except ImportError:  # older jax
 from ..config import DEFAULTS, EPS32, EPS64
 from ..scales import process_scales, process_fs_and_t
 from ..utils.pad import pad_params
-from ..utils.windows import get_window
+from ..utils.windows import get_window, window_norm, check_nola
 from ..wavelets.base import Wavelet
 from ..wavelets.props import time_resolution
 from ..ops.stft import stft_core
@@ -75,26 +75,34 @@ from ..ops.ssqueeze import (ssqueeze, bin_params,
                             plan_reassignment)
 
 __all__ = ["chunked_stft", "chunked_cwt", "chunked_ssq_cwt",
-           "chunked_ssq_stft", "default_cwt_halo", "halo_extend",
-           "overlap_save_tail_mass"]
+           "chunked_ssq_stft", "chunked_istft", "chunked_icwt",
+           "chunked_issq_cwt", "chunked_issq_stft", "default_cwt_halo",
+           "halo_extend", "overlap_save_tail_mass"]
 
 
-def halo_extend(xs, axis_name: str, n_shards: int, Hl: int, Hr: int):
-    """Extend a local time shard with `Hl`/`Hr` halo samples from neighbors
-    (reflect at global edges). xs: (..., S) -> (..., Hl + S + Hr)."""
+def halo_extend(xs, axis_name: str, n_shards: int, Hl: int, Hr: int,
+                boundary: str = "reflect"):
+    """Extend a local time shard with `Hl`/`Hr` halo samples from neighbors.
+    xs: (..., S) -> (..., Hl + S + Hr). `boundary`: what the globally
+    first/last shard uses where no neighbor exists — 'reflect' (signal
+    pads, matching the dask scripts' boundary='reflect') or 'zero'
+    (frame halos of chunked_istft: no frames exist beyond the signal)."""
     parts = [xs]
     idx = lax.axis_index(axis_name)
     if Hl > 0:
         right_perm = [(i, i + 1) for i in range(n_shards - 1)]
         left_recv = lax.ppermute(xs[..., -Hl:], axis_name, right_perm)
-        refl_left = xs[..., 1:Hl + 1][..., ::-1]
-        left = jnp.where(idx == 0, refl_left, left_recv)
+        edge_left = (xs[..., 1:Hl + 1][..., ::-1] if boundary == "reflect"
+                     else jnp.zeros_like(left_recv))
+        left = jnp.where(idx == 0, edge_left, left_recv)
         parts.insert(0, left)
     if Hr > 0:
         left_perm = [(i + 1, i) for i in range(n_shards - 1)]
         right_recv = lax.ppermute(xs[..., :Hr], axis_name, left_perm)
-        refl_right = xs[..., -Hr - 1:-1][..., ::-1]
-        right = jnp.where(idx == n_shards - 1, refl_right, right_recv)
+        edge_right = (xs[..., -Hr - 1:-1][..., ::-1]
+                      if boundary == "reflect"
+                      else jnp.zeros_like(right_recv))
+        right = jnp.where(idx == n_shards - 1, edge_right, right_recv)
         parts.append(right)
     return jnp.concatenate(parts, axis=-1)
 
@@ -501,3 +509,181 @@ def chunked_ssq_stft(x, mesh: Mesh, window=None, n_fft=None, win_len=None,
     Tx = fn(Sx, dSx)
     ssq_freqs = Sfs[::-1] if flipud else Sfs
     return Tx, Sx, ssq_freqs, Sfs
+
+
+# -- inverse transforms, sharded ------------------------------------------------
+def chunked_istft(Sx, mesh: Mesh, window=None, n_fft=None, win_len=None,
+                  hop_len=1, N=None, modulated=True, win_exp=1,
+                  axis_name="time", batch_axis_name=None):
+    """Time-sharded inverse STFT, BIT-EXACT vs `ops.stft.istft` (XLA path).
+
+    Sharding design (SURVEY §7.1 last bullet): each shard holds S frame
+    columns; it fetches Hl/Hr neighbor FRAME columns via `lax.ppermute`
+    (zero columns at the global edges — no frames exist beyond the
+    signal), runs the identical irfft + overlap-add locally, and keeps
+    its own Sh = S*hop output samples.
+
+    Why a frame halo rather than exchanging OLA tail partial sums: the
+    overlap-add fold is ordered by WINDOW OFFSET within each output
+    sample (ops/stft.overlap_add), so a boundary sample's accumulation
+    interleaves frames of adjacent shards inside one fold group;
+    splitting the sum into local + remote partial sums changes the
+    floating-point fold order and breaks bit-exactness. With the frame
+    halo, every kept sample folds over exactly the frames (and in
+    exactly the order) the unsharded transform uses, so results are
+    elementwise EQUAL (halo frames beyond the signal contribute literal
+    +0.0 terms, the identity). The Griffin-Lim `window_norm` denominator
+    is planned globally and passed in time-sharded.
+
+    Matches the unsharded XLA matmul/irfft route (the single-chip fused
+    Pallas istft kernel has its own in-VMEM fold; on TPU the two agree
+    to float rounding, not bitwise).
+
+    Reference behavior: old/ssqueezepy/_stft.py:184-256.
+    """
+    from ..ops.stft import overlap_add, _irfft_mats, MATMUL_NFFT_MAX
+
+    Sx = jnp.asarray(Sx)
+    n_fft = int(n_fft or (Sx.shape[-2] - 1) * 2)
+    win_len = int(win_len or n_fft)
+    n_frames = Sx.shape[-1]
+    hop = int(hop_len)
+    N = int(N or hop * n_frames)
+    n_shards = mesh.shape[axis_name]
+    _check_divisible(n_frames, n_shards, "frame count")
+    S = n_frames // n_shards
+    Sh = S * hop
+    dtype = "float32" if Sx.dtype == jnp.complex64 else "float64"
+
+    window = get_window(window, win_len, n_fft=n_fft, dtype=dtype)
+    check_nola(window, hop)
+    wn = window_norm(window, hop, n_fft, N, win_exp)     # (N + n_fft - 1,)
+    h = n_fft // 2
+    # norm aligned to OUTPUT samples (the unsharded istft divides the OLA
+    # buffer then unpads [h : h + N])
+    wn_out = jnp.asarray(wn[h:h + N])
+
+    # frame halos: output sample j needs frames f with f*hop in
+    # (j + h - n_fft, j + h]
+    Hl = -(-(n_fft - 1 - h) // hop)
+    Hr = -(-h // hop)
+    if max(Hl, Hr) > S:
+        raise ValueError(
+            f"n_fft={n_fft} needs a {max(Hl, Hr)}-frame halo but each of "
+            f"the {n_shards} time shards holds only {S} frames; lower "
+            f"n_fft or use fewer time shards")
+
+    use_matmul = (Sx.dtype == jnp.complex64 and n_fft <= MATMUL_NFFT_MAX)
+    if use_matmul:
+        Fr_np, Fs_np = _irfft_mats(n_fft, modulated)
+    win_np = np.asarray(window)
+    tiny = float(np.finfo(dtype).tiny)
+
+    def shard_fn(Sx_l, wn_l):
+        Se = halo_extend(Sx_l, axis_name, n_shards, Hl, Hr,
+                         boundary="zero")
+        if use_matmul:
+            xbuf = (jnp.einsum("tk,...kn->...tn", jnp.asarray(Fr_np),
+                               Se.real,
+                               precision=jax.lax.Precision.HIGHEST) -
+                    jnp.einsum("tk,...kn->...tn", jnp.asarray(Fs_np),
+                               Se.imag,
+                               precision=jax.lax.Precision.HIGHEST))
+        else:
+            xbuf = jnp.fft.irfft(Se, n=n_fft, axis=-2)
+            if modulated:
+                xbuf = jnp.fft.fftshift(xbuf, axes=-2)
+        n_loc = S + Hl + Hr
+        ola = overlap_add(xbuf, jnp.asarray(win_np), hop, n_fft,
+                          (n_loc - 1) * hop + n_fft, win_exp)
+        x_l = lax.slice_in_dim(ola, Hl * hop + h, Hl * hop + h + Sh,
+                               axis=-1)
+        return jnp.where(wn_l > tiny, x_l / jnp.where(wn_l > tiny, wn_l, 1),
+                         x_l)
+
+    in_spec, out_spec = _specs(Sx.ndim, Sx.ndim - 1, axis_name,
+                               batch_axis_name)
+    wn_spec = P(axis_name)
+    fn = shard_map(shard_fn, mesh, (in_spec, wn_spec), out_spec)
+    return fn(Sx, wn_out.astype(dtype))
+
+
+def chunked_icwt(Wx, mesh: Mesh, wavelet="gmw", scales="log-piecewise",
+                 nv=None, one_int=True, x_len=None, x_mean=0,
+                 l1_norm=True, axis_name="time", batch_axis_name=None):
+    """Time-sharded inverse CWT (one-integral form).
+
+    The one-integral iCWT is COLUMN-LOCAL — x[j] = (2/Cpsi) * const *
+    sum_rows Re(Wx[:, j])/norm(scale) (reference _cwt.py:321-492) — so
+    each shard inverts its own time columns with globally planned scales
+    and admissibility constants; no halo exchange is needed and the
+    result equals the unsharded `ops.cwt.icwt` exactly (identical
+    per-column reduction). The two-integral form convolves per scale and
+    would need the CWT halo machinery; use the unsharded `icwt` for it.
+    """
+    if not one_int:
+        raise NotImplementedError(
+            "chunked_icwt supports the one-integral form only (the "
+            "two-integral form needs per-scale convolution halos); use "
+            "ops.cwt.icwt(one_int=False) unsharded")
+    from ..ops.cwt import icwt
+
+    Wx = jnp.asarray(Wx)
+    N = int(x_len or Wx.shape[-1])
+    if N != Wx.shape[-1]:
+        raise ValueError("chunked_icwt requires x_len == Wx.shape[-1] "
+                         "(trimming is not time-shardable)")
+
+    def shard_fn(W):
+        return icwt(W, wavelet, scales=scales, nv=nv, one_int=True,
+                    x_len=N, x_mean=x_mean, l1_norm=l1_norm)
+
+    in_spec, out_spec = _specs(Wx.ndim, Wx.ndim - 1, axis_name,
+                               batch_axis_name)
+    fn = shard_map(shard_fn, mesh, (in_spec,), out_spec)
+    return fn(Wx)
+
+
+def chunked_issq_cwt(Tx, mesh: Mesh, wavelet="gmw", cc=None, cw=None,
+                     axis_name="time", batch_axis_name=None):
+    """Time-sharded inverse synchrosqueezed CWT (full inversion).
+
+    x[j] = (2/Css) * sum_rows Re(Tx[:, j]) is column-local (reference
+    _ssq_cwt.py:313-417): shards invert independently, matching the
+    unsharded `issq_cwt` exactly. Component inversion (cc/cw curve
+    bands) is host-side numpy in the unsharded path; pass the sharded
+    output columns through `ops.ssq_cwt.issq_cwt` for it.
+    """
+    if cc is not None or cw is not None:
+        raise NotImplementedError(
+            "component inversion (cc/cw) is host-side; use "
+            "ops.ssq_cwt.issq_cwt on gathered columns")
+    from ..ops.ssq_cwt import issq_cwt
+
+    Tx = jnp.asarray(Tx)
+
+    def shard_fn(T):
+        return issq_cwt(T, wavelet)
+
+    in_spec, out_spec = _specs(Tx.ndim, Tx.ndim - 1, axis_name,
+                               batch_axis_name)
+    fn = shard_map(shard_fn, mesh, (in_spec,), out_spec)
+    return fn(Tx)
+
+
+def chunked_issq_stft(Tx, mesh: Mesh, window=None, win_len=None, n_fft=None,
+                      axis_name="time", batch_axis_name=None):
+    """Time-sharded inverse synchrosqueezed STFT (hop_len=1, modulated —
+    the reference's invertible configuration, _ssq_stft.py:139-198).
+    Column-local: x[j] = sum_rows Re(Tx[:, j]) * 2 / window[center]."""
+    from ..ops.ssq_stft import issq_stft
+
+    Tx = jnp.asarray(Tx)
+
+    def shard_fn(T):
+        return issq_stft(T, window=window, win_len=win_len, n_fft=n_fft)
+
+    in_spec, out_spec = _specs(Tx.ndim, Tx.ndim - 1, axis_name,
+                               batch_axis_name)
+    fn = shard_map(shard_fn, mesh, (in_spec,), out_spec)
+    return fn(Tx)

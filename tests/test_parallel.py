@@ -5,6 +5,7 @@ halo-exchange semantics the TPU build adds (SURVEY §4 implication).
 """
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from ssqueeze_rs_tpu import stft, cwt, ssq_cwt, ssq_stft
@@ -212,3 +213,102 @@ def test_chunked_cwt_halo_convergence(mesh):
     # reasonable halo (the reference's fixed dask overlap shares both
     # effects, unmeasured)
     assert errs[-1] < errs[0] / 2, errs
+
+
+# -- sharded inverse transforms (round 3) -----------------------------------
+def test_chunked_istft_bit_exact(mesh):
+    """chunked_istft == unsharded istft ELEMENTWISE over hop/win_exp/
+    modulated grids (frame-halo exchange preserves the OLA fold order;
+    parallel/chunked.py::chunked_istft design note)."""
+    from ssqueeze_rs_tpu import istft
+    from ssqueeze_rs_tpu.parallel import chunked_istft
+
+    rng = np.random.default_rng(7)
+    N = 1024
+    x = np.asarray(rng.standard_normal(N), np.float64)
+    for n_fft, hop, win_exp, modulated in [(64, 1, 1, True),
+                                           (64, 4, 1, True),
+                                           (65, 1, 0, True),
+                                           (64, 2, 2, False)]:
+        Sx = stft(x, n_fft=n_fft, hop_len=hop, modulated=modulated,
+                  dtype="float64")
+        want = np.asarray(istft(Sx, n_fft=n_fft, hop_len=hop,
+                                modulated=modulated, win_exp=win_exp))
+        got = np.asarray(chunked_istft(Sx, mesh, n_fft=n_fft, hop_len=hop,
+                                       modulated=modulated,
+                                       win_exp=win_exp))
+        assert got.shape == want.shape
+        assert np.array_equal(got, want), (
+            n_fft, hop, win_exp, modulated,
+            float(np.abs(got - want).max()))
+
+
+def test_chunked_istft_roundtrip_and_batch(mesh2x4):
+    """Sharded forward -> sharded inverse round trip, batched over the
+    data axis, recovers the signal (float64, hop=1)."""
+    from ssqueeze_rs_tpu import istft
+    from ssqueeze_rs_tpu.parallel import (chunked_stft, chunked_istft,
+                                          shard_batch)
+    from ssqueeze_rs_tpu.toolkit import mad_rms
+
+    rng = np.random.default_rng(8)
+    B, N = 2, 512
+    X = np.asarray(rng.standard_normal((B, N)), np.float64)
+    Xs = shard_batch(jnp.asarray(X), mesh2x4, "data")
+    kw = dict(n_fft=64, hop_len=1, dtype="float64")
+    Sx = chunked_stft(Xs, mesh2x4, batch_axis_name="data", **kw)
+    xr = np.asarray(chunked_istft(Sx, mesh2x4, n_fft=64, hop_len=1,
+                                  batch_axis_name="data"))
+    assert xr.shape == (B, N)
+    for i in range(B):
+        assert mad_rms(X[i], xr[i]) < 1e-12
+
+
+def test_chunked_icwt_matches_unsharded(mesh):
+    """chunked_icwt equals the unsharded one-integral icwt (column-local
+    reduction) and round-trips the signal."""
+    from ssqueeze_rs_tpu import icwt
+    from ssqueeze_rs_tpu.parallel import chunked_icwt
+    from ssqueeze_rs_tpu.toolkit import mad_rms
+
+    rng = np.random.default_rng(9)
+    N = 1024
+    t = np.arange(N) / N
+    x = (np.cos(2 * np.pi * 40 * t) +
+         0.4 * np.asarray(rng.standard_normal(N))).astype(np.float64)
+    wav = ("gmw", {"beta": 8.0})
+    Wx, scales = cwt(x, wav, scales="log", nv=16, dtype="float64")
+    want = np.asarray(icwt(np.asarray(Wx), wav, scales="log", nv=16))
+    got = np.asarray(chunked_icwt(Wx, mesh, wavelet=wav, scales="log",
+                                  nv=16))
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() <= 1e-6 * max(np.abs(want).max(), 1.0)
+    assert mad_rms(x, got) < 0.05   # reference-style round-trip sanity
+
+    with pytest.raises(NotImplementedError):
+        chunked_icwt(Wx, mesh, wavelet=wav, scales="log", nv=16,
+                     one_int=False)
+
+
+def test_chunked_issq_matches_unsharded(mesh):
+    """chunked_issq_cwt / chunked_issq_stft equal their unsharded
+    counterparts (column-local row sums)."""
+    from ssqueeze_rs_tpu import issq_cwt, issq_stft
+    from ssqueeze_rs_tpu.parallel import (chunked_issq_cwt,
+                                          chunked_issq_stft)
+
+    rng = np.random.default_rng(10)
+    N = 512
+    t = np.arange(N) / N
+    x = np.cos(2 * np.pi * 30 * t) + 0.1 * rng.standard_normal(N)
+    wav = ("gmw", {"beta": 8.0})
+
+    Tx, *_ = ssq_cwt(x, wav, scales="log", nv=16, dtype="float64")
+    want = np.asarray(issq_cwt(np.asarray(Tx), wav))
+    got = np.asarray(chunked_issq_cwt(Tx, mesh, wavelet=wav))
+    assert np.array_equal(got, want)
+
+    Ts, *_ = ssq_stft(x, n_fft=64, dtype="float64")
+    want_s = np.asarray(issq_stft(np.asarray(Ts), n_fft=64))
+    got_s = np.asarray(chunked_issq_stft(Ts, mesh, n_fft=64))
+    assert np.array_equal(got_s, want_s)
