@@ -174,39 +174,47 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
 
 # -- inverse ----------------------------------------------------------------
 def _process_component_inversion_args(cc, cw):
+    # jnp (not numpy) so component inversion is trace-safe: it can run
+    # under jit and inside shard_map (parallel.chunked_issq_cwt)
     if cc is None and cw is None:
         return None, None, True
-    cc = np.asarray(cc)
-    cw = np.asarray(cw)
+    cc = jnp.asarray(cc, jnp.int32)
+    cw = jnp.asarray(cw, jnp.int32)
     if cc.ndim == 1:
-        cc = cc.reshape(-1, 1)
+        cc = cc[:, None]
     if cw.ndim == 1:
-        cw = cw.reshape(-1, 1)
-    return cc.astype("int32"), cw.astype("int32"), False
+        cw = cw[:, None]
+    return cc, cw, False
 
 
 def _invert_components(Tx, cc, cw):
-    """Invert around curve bands in the TF plane; last row of output is the
-    residual (reference: _ssq_cwt.py:381-403). Vectorized over rows."""
-    Tx = np.asarray(Tx)
-    n_freqs, n_times = Tx.shape
-    K = cc.shape[1]
-    x = np.zeros((K + 1, n_times))
-    rows = np.arange(n_freqs)[:, None]  # (n_freqs, 1)
-    remainder_mask = np.ones(Tx.shape, dtype=bool)
+    """Invert around curve bands in the TF plane; last output row is the
+    residual (reference: _ssq_cwt.py:381-403).
 
-    for n in range(K):
-        upper = np.clip(cc[:, n] + cw[:, n], 0, n_freqs)
-        lower = np.clip(cc[:, n] - cw[:, n], 0, n_freqs)
-        no_curve = (cc[:, n] == -1)
-        upper = np.where(no_curve, 0, upper)
-        lower = np.where(no_curve, 1, lower)
-        mask = (rows >= lower[None, :]) & (rows <= upper[None, :])
-        x[n] = (Tx.real * mask).sum(axis=0)
-        remainder_mask &= ~mask
+    Device-side jnp (the reference loops components in numpy): all K
+    component masks are built by one broadcast compare and applied by
+    one einsum, so the inversion runs under jit, is differentiable, and
+    supports leading batch dims on Tx (output (..., K+1, n_times))."""
+    Tx = jnp.asarray(Tx)
+    n_freqs = Tx.shape[-2]
+    cc = jnp.asarray(cc, jnp.int32).T          # (K, n_times)
+    cw = jnp.asarray(cw, jnp.int32).T
+    rows = jnp.arange(n_freqs)[None, :, None]  # (1, n_freqs, 1)
 
-    x[K] = (Tx.real * remainder_mask).sum(axis=0)
-    return x
+    upper = jnp.clip(cc + cw, 0, n_freqs)
+    lower = jnp.clip(cc - cw, 0, n_freqs)
+    no_curve = cc == -1
+    upper = jnp.where(no_curve, 0, upper)
+    lower = jnp.where(no_curve, 1, lower)
+    # (K, n_freqs, n_times) band masks
+    mask = (rows >= lower[:, None, :]) & (rows <= upper[:, None, :])
+
+    Txr = Tx.real
+    comps = jnp.einsum("...fn,kfn->...kn", Txr, mask.astype(Txr.dtype))
+    # residual: rows claimed by NO component (reference keeps &= ~mask)
+    remainder = ~jnp.any(mask, axis=0)
+    resid = jnp.sum(Txr * remainder.astype(Txr.dtype), axis=-2)
+    return jnp.concatenate([comps, resid[..., None, :]], axis=-2)
 
 
 def issq_cwt(Tx, wavelet="gmw", cc=None, cw=None):
@@ -219,7 +227,7 @@ def issq_cwt(Tx, wavelet="gmw", cc=None, cw=None):
     if full_inverse:
         x = jnp.asarray(Tx).real.sum(axis=-2)
     else:
-        x = jnp.asarray(_invert_components(Tx, cc, cw))
+        x = _invert_components(Tx, cc, cw)
 
     wavelet = Wavelet.build(wavelet)
     Css = adm_ssq(wavelet)

@@ -179,5 +179,5 @@ def issq_stft(Tx, window=None, cc=None, cw=None, n_fft=None, win_len=None,
     if full_inverse:
         x = jnp.asarray(Tx).real.sum(axis=-2)
     else:
-        x = jnp.asarray(_invert_components(np.asarray(Tx), cc, cw))
+        x = _invert_components(Tx, cc, cw)
     return x * (2 / window[len(window) // 2])

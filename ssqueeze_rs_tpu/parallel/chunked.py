@@ -646,29 +646,40 @@ def chunked_icwt(Wx, mesh: Mesh, wavelet="gmw", scales="log-piecewise",
 
 def chunked_issq_cwt(Tx, mesh: Mesh, wavelet="gmw", cc=None, cw=None,
                      axis_name="time", batch_axis_name=None):
-    """Time-sharded inverse synchrosqueezed CWT (full inversion).
+    """Time-sharded inverse synchrosqueezed CWT.
 
     x[j] = (2/Css) * sum_rows Re(Tx[:, j]) is column-local (reference
     _ssq_cwt.py:313-417): shards invert independently, matching the
     unsharded `issq_cwt` exactly. Component inversion (cc/cw curve
-    bands) is host-side numpy in the unsharded path; pass the sharded
-    output columns through `ops.ssq_cwt.issq_cwt` for it.
-    """
-    if cc is not None or cw is not None:
-        raise NotImplementedError(
-            "component inversion (cc/cw) is host-side; use "
-            "ops.ssq_cwt.issq_cwt on gathered columns")
+    bands, (n_times, K)) is column-local too — band masks are built per
+    time column — so cc/cw shard along time with Tx (the reference's
+    component inversion is host-side numpy; ours is device jnp,
+    ops/ssq_cwt._invert_components, so it shards and batches)."""
     from ..ops.ssq_cwt import issq_cwt
 
     Tx = jnp.asarray(Tx)
-
-    def shard_fn(T):
-        return issq_cwt(T, wavelet)
-
     in_spec, out_spec = _specs(Tx.ndim, Tx.ndim - 1, axis_name,
                                batch_axis_name)
-    fn = shard_map(shard_fn, mesh, (in_spec,), out_spec)
-    return fn(Tx)
+
+    if cc is None and cw is None:
+        fn = shard_map(lambda T: issq_cwt(T, wavelet), mesh, (in_spec,),
+                       out_spec)
+        return fn(Tx)
+
+    cc = jnp.asarray(cc, jnp.int32)
+    cw = jnp.asarray(cw, jnp.int32)
+    if cc.ndim == 1:
+        cc, cw = cc[:, None], cw[:, None]
+    curve_spec = P(axis_name, None)
+    # component inversion adds a (K+1) axis before time
+    comp_spec = P(*out_spec[:-1], None, out_spec[-1])
+
+    def shard_fn(T, cc_l, cw_l):
+        return issq_cwt(T, wavelet, cc=cc_l, cw=cw_l)
+
+    fn = shard_map(shard_fn, mesh, (in_spec, curve_spec, curve_spec),
+                   comp_spec)
+    return fn(Tx, cc, cw)
 
 
 def chunked_issq_stft(Tx, mesh: Mesh, window=None, win_len=None, n_fft=None,

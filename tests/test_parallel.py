@@ -312,3 +312,46 @@ def test_chunked_issq_matches_unsharded(mesh):
     want_s = np.asarray(issq_stft(np.asarray(Ts), n_fft=64))
     got_s = np.asarray(chunked_issq_stft(Ts, mesh, n_fft=64))
     assert np.array_equal(got_s, want_s)
+
+
+def test_chunked_issq_component_inversion(mesh):
+    """Sharded component inversion (cc/cw bands shard along time with
+    Tx); equals the unsharded jnp inversion and the former host-numpy
+    reference semantics."""
+    from ssqueeze_rs_tpu import issq_cwt
+    from ssqueeze_rs_tpu.parallel import chunked_issq_cwt
+    from ssqueeze_rs_tpu.toolkit import lin_band
+
+    rng = np.random.default_rng(11)
+    N = 512
+    t = np.arange(N) / N
+    x = np.cos(2 * np.pi * 40 * t) + 0.5 * rng.standard_normal(N)
+    wav = ("gmw", {"beta": 6.0})
+    Tx, *_ = ssq_cwt(x, wav, scales="log:maximal", nv=16, flipud=False,
+                     dtype="float64")
+    Cs, freqband = lin_band(Tx, 0.4, 0.4, 0.05)
+
+    want = np.asarray(issq_cwt(np.asarray(Tx), wav, Cs, freqband))
+    got = np.asarray(chunked_issq_cwt(Tx, mesh, wavelet=wav, cc=Cs,
+                                      cw=freqband))
+    assert got.shape == want.shape == (2, N)   # 1 component + residual
+    assert np.array_equal(got, want)
+
+    # host-numpy oracle of the reference's per-component loop
+    # (_ssq_cwt.py:381-403)
+    Txn = np.asarray(Tx)
+    cc = np.asarray(Cs).reshape(-1, 1)
+    cw = np.asarray(freqband).reshape(-1, 1)
+    rows = np.arange(Txn.shape[0])[:, None]
+    up = np.clip(cc[:, 0] + cw[:, 0], 0, Txn.shape[0])
+    lo = np.clip(cc[:, 0] - cw[:, 0], 0, Txn.shape[0])
+    nocurve = cc[:, 0] == -1
+    up = np.where(nocurve, 0, up)
+    lo = np.where(nocurve, 1, lo)
+    m = (rows >= lo[None, :]) & (rows <= up[None, :])
+    from ssqueeze_rs_tpu.wavelets.adm import adm_ssq
+    from ssqueeze_rs_tpu.wavelets.base import Wavelet
+    Css = adm_ssq(Wavelet.build(wav))
+    np.testing.assert_allclose(got[0],
+                               (Txn.real * m).sum(0) * 2 / Css,
+                               rtol=1e-12)
