@@ -307,8 +307,17 @@ def _reassign_with_vjp(static, wr, wi, dr, di, const_arr, Sfs):
     have zero derivative), so cotangents flow only through the
     accumulated VALUES: dL/dWx[i,j] = const[i] * gTx[k(i,j), j], and
     dWx receives zero (it only shapes k). The backward is the mirrored
-    Pallas gather kernel — fast path differentiable end-to-end."""
-    mode, flipud, transform, nf, plan, gamma_f, interpret = static
+    Pallas gather kernel — fast path differentiable end-to-end.
+
+    `static[7]` selects the forward implementation: 'vpu' (one-hot row
+    loop) or 'mxu' (digit-split matmul accumulation); both produce the
+    same binning decisions, so the shared backward applies to either."""
+    mode, flipud, transform, nf, plan, gamma_f, interpret, impl, splits =         static
+    if impl == "mxu" and wr.dtype == jnp.float32:
+        return _reassign_mxu_2d(wr, wi, dr, di, const_arr, Sfs, mode=mode,
+                                flipud=flipud, transform=transform, nf=nf,
+                                plan=plan, gamma_f=gamma_f,
+                                interpret=interpret, splits=splits)
     return _reassign_pallas_2d(wr, wi, dr, di, const_arr, Sfs, mode=mode,
                                flipud=flipud, transform=transform, nf=nf,
                                plan=plan, gamma_f=gamma_f,
@@ -321,7 +330,7 @@ def _reassign_fwd(static, wr, wi, dr, di, const_arr, Sfs):
 
 
 def _reassign_bwd(static, res, g):
-    mode, flipud, transform, nf, plan, gamma_f, interpret = static
+    mode, flipud, transform, nf, plan, gamma_f, interpret = static[:7]
     wr, wi, dr, di, const_arr, Sfs = res
     gr, gi = g
     gwr, gwi = _reassign_bwd_2d(wr, wi, dr, di, const_arr, Sfs,
@@ -334,6 +343,173 @@ def _reassign_bwd(static, res, g):
 
 
 _reassign_with_vjp.defvjp(_reassign_fwd, _reassign_bwd)
+
+
+# -- MXU digit-split variant --------------------------------------------------
+# The one-hot row loop above is VPU-bound: 5 ops x na x nf x T per tile
+# (~22 ms at (293, 293, 160k) — the measured floor across 6 scheduling
+# variants). This variant moves the accumulation to the MXU by splitting
+# the bin index into digits k = 16*khi + klo (khi < F1 = ceil(nf/16),
+# klo < 16) and using the product-of-indicators identity
+#
+#   Tx[16*f1+f0, j] = sum_i [khi[i,j]==f1] * (v[i,j] * [klo[i,j]==f0])
+#
+# Per 8-column group g the right factor forms B (na, 16*8 = 128 lanes,
+# lane = 8*0.. j-major l = j*16+f0) and the left factor forms
+# A (F1*8 rows, na) with row r = 8*f1 + jg; D = A @ B computes ALL
+# (f1, jg) x (f0, j') pairs and the jg == j' diagonal is extracted by a
+# constant mask + a second tiny matmul (P8 @ (D .* M8)). The 8x
+# cross-term MAC waste is the price of lane-aligned operands; the MXU
+# has orders of magnitude of headroom over the VPU loop. v is bf16x3
+# split (Mosaic dots are DEFAULT-precision only); A and the masks are
+# EXACT in bf16 (0/1). Deterministic: pure matmul accumulation.
+#
+# Output rows leave the kernel DIGIT-ORDERED as (f1, l%16-interleaved):
+# out[f1, j*16 + f0] — a (F1, 16n) plane per part; the host-side
+# wrapper undoes the interleave with one XLA reshape+transpose pass
+# (cheap, fuses with the complexify). Gated behind
+# SSQ_TPU_REASSIGN_IMPL=mxu until measured on-chip.
+
+def _mxu_consts(F1: int, G: int = 8):
+    """Host constants: the jg==j' diagonal mask M8 (F1*G, 16*G) and the
+    row-group sum matrix P8 (F1, F1*G)."""
+    M = F1 * G
+    r = np.arange(M)[:, None]
+    l = np.arange(16 * G)[None, :]
+    M8 = ((r % G) == (l // 16)).astype(np.float32)
+    P8 = (np.arange(F1)[:, None] == (np.arange(M)[None, :] // G)).astype(
+        np.float32)
+    return M8, P8
+
+
+def _make_mxu_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
+                     n_valid, splits: int):
+    F1 = -(-nf // 16)
+    G = 8
+    NG = tile // G
+    Mrows = F1 * G
+
+    def kernel(wr_ref, wi_ref, dr_ref, di_ref, const_ref, sfs_ref,
+               m8_ref, p8_ref, outr_ref, outi_ref,
+               kht_ref, klr_ref, vrr_ref, vir_ref):
+        C = wr_ref[:]
+        D = wi_ref[:]
+        k, mask = _bin_indices(mode, params, gamma, flipud, transform, nf,
+                               tile, n_valid, C, D, dr_ref[:], di_ref[:],
+                               sfs_ref[:])
+        cb = const_ref[:]
+        vr = jnp.where(mask, C * cb, 0.0)
+        vi = jnp.where(mask, D * cb, 0.0)
+        khi = k >> 4                      # -1 stays -1: matches no f1
+        klo = k & 15
+
+        # staged tile-wide operands:
+        #   kht: transposed high digits (tile, na) — A-side source
+        #   klr/vrr/vir: lane-replicated (x16, j-major) low digits and
+        #   values — B-side sources, 128-lane-sliceable per group
+        kht_ref[:] = khi.T
+        rep = lambda z: jnp.repeat(z, 16, axis=1)
+        klr_ref[:] = rep(klo)
+        vrr_ref[:] = rep(vr)
+        vir_ref[:] = rep(vi)
+
+        f1_of_row = jax.lax.broadcasted_iota(jnp.int32, (Mrows, na), 0) // G
+        f0_of_lane = jax.lax.broadcasted_iota(jnp.int32, (na, 16 * G),
+                                              1) % 16
+        M8 = m8_ref[:]
+        P8 = p8_ref[:]
+
+        def split3(x):
+            h = x.astype(jnp.bfloat16)
+            r1 = x - h.astype(jnp.float32)
+            m = r1.astype(jnp.bfloat16)
+            if splits == 2:
+                return (h, m)
+            r2 = r1 - m.astype(jnp.float32)
+            return (h, m, r2.astype(jnp.bfloat16))
+
+        def body(g, _):
+            kh_g = kht_ref[pl.ds(g * G, G), :]            # (G, na)
+            A = (jnp.tile(kh_g, (F1, 1)) == f1_of_row).astype(jnp.bfloat16)
+            kl_g = klr_ref[:, pl.ds(g * 128, 128)]        # (na, 128)
+            sel = kl_g == f0_of_lane
+            Br = jnp.where(sel, vrr_ref[:, pl.ds(g * 128, 128)], 0.0)
+            Bi = jnp.where(sel, vir_ref[:, pl.ds(g * 128, 128)], 0.0)
+            B = jnp.concatenate(split3(Br) + split3(Bi), axis=1)
+            D6 = jnp.dot(A, B, preferred_element_type=jnp.float32)
+            half = splits * 128
+            Dr = sum(D6[:, s * 128:(s + 1) * 128] for s in range(splits))
+            Di = sum(D6[:, half + s * 128:half + (s + 1) * 128]
+                     for s in range(splits))
+            # diagonal extraction + row-group sum on the MXU
+            Sr = jnp.dot(P8, Dr * M8, preferred_element_type=jnp.float32)
+            Si = jnp.dot(P8, Di * M8, preferred_element_type=jnp.float32)
+            outr_ref[:, pl.ds(g * 128, 128)] = Sr
+            outi_ref[:, pl.ds(g * 128, 128)] = Si
+            return 0
+
+        jax.lax.fori_loop(0, NG, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "flipud", "transform",
+                                             "nf", "plan", "gamma_f",
+                                             "interpret", "splits"))
+def _reassign_mxu_2d(wr, wi, dr, di, const_arr, Sfs, *, mode, flipud,
+                     transform, nf, plan, gamma_f, interpret, splits=3):
+    """MXU digit-split forward; same contract as _reassign_pallas_2d."""
+    na, n = wr.shape
+    rdtype = wr.dtype
+    import os
+    TILE = int(os.environ.get("SSQ_TPU_REASSIGN_TILE", "512"))
+    grid_n = -(-n // TILE)
+    pad = grid_n * TILE - n if interpret else 0
+    if pad:
+        wr, wi, dr, di = (jnp.pad(z, ((0, 0), (0, pad)))
+                          for z in (wr, wi, dr, di))
+
+    F1 = -(-nf // 16)
+    constb = jnp.broadcast_to(const_arr.astype(rdtype)[:, None], (na, 1))
+    sfsb = jnp.broadcast_to(Sfs.astype(rdtype)[:, None], (na, 1))
+    M8_np, P8_np = _mxu_consts(F1)
+
+    kernel = _make_mxu_kernel(mode, dict(plan), gamma_f, flipud, transform,
+                              nf, na, TILE, n_valid=n, splits=splits)
+    bspec_in = pl.BlockSpec((na, TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    bspec_col = pl.BlockSpec((na, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    bspec_c2 = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    bspec_out = pl.BlockSpec((F1, 16 * TILE), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+
+    outr, outi = pl.pallas_call(
+        kernel,
+        grid=(grid_n,),
+        in_specs=[bspec_in, bspec_in, bspec_in, bspec_in, bspec_col,
+                  bspec_col, bspec_c2(M8_np), bspec_c2(P8_np)],
+        out_specs=(bspec_out, bspec_out),
+        out_shape=(jax.ShapeDtypeStruct((F1, 16 * (n + pad)), rdtype),
+                   jax.ShapeDtypeStruct((F1, 16 * (n + pad)), rdtype)),
+        scratch_shapes=[pltpu.VMEM((TILE, na), jnp.int32),
+                        pltpu.VMEM((na, 16 * TILE), jnp.int32),
+                        pltpu.VMEM((na, 16 * TILE), rdtype),
+                        pltpu.VMEM((na, 16 * TILE), rdtype)],
+        interpret=interpret,
+        **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))),
+    )(wr, wi, dr, di, constb, sfsb, jnp.asarray(M8_np), jnp.asarray(P8_np))
+
+    # un-interleave the digit-ordered output: out[f1, j*16 + f0] ->
+    # Tx[16*f1 + f0, j] (one XLA pass; fuses with the complexify)
+    def fix(o):
+        o = o.reshape(F1, n + pad, 16)
+        o = jnp.moveaxis(o, -1, 1).reshape(F1 * 16, n + pad)
+        return o[:nf, :n]
+
+    return fix(outr), fix(outi)
 
 
 def _planes(z, rdtype):
@@ -356,6 +532,9 @@ def reassign_pallas(Wx, dWx, const_arr, gamma, Sfs, plan_params, *, mode,
     if interpret is None:
         interpret = interpret_mode()
     plan = tuple(sorted((k, float(v)) for k, v in plan_params.items()))
+    import os
+    impl = os.environ.get("SSQ_TPU_REASSIGN_IMPL", "vpu")
+    splits = int(os.environ.get("SSQ_TPU_REASSIGN_SPLITS", "3"))
 
     planar_in = isinstance(Wx, tuple)
     cdtype = (Wx[0] if planar_in else Wx).dtype
@@ -369,7 +548,8 @@ def reassign_pallas(Wx, dWx, const_arr, gamma, Sfs, plan_params, *, mode,
     na, n = wr.shape[-2:]
     wr, wi, dr, di = (z.reshape((-1, na, n)) for z in (wr, wi, dr, di))
 
-    static = (mode, flipud, transform, nf, plan, float(gamma), interpret)
+    static = (mode, flipud, transform, nf, plan, float(gamma), interpret,
+              impl, splits)
     f = functools.partial(_reassign_with_vjp, static)
     if wr.shape[0] == 1:
         txr, txi = f(wr[0], wi[0], dr[0], di[0], const_arr, Sfs)

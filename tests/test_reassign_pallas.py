@@ -146,3 +146,43 @@ def test_skip_variants_match_baseline(monkeypatch, skip):
     monkeypatch.delenv("SSQ_TPU_REASSIGN_SKIP")
     jax.clear_caches()
     assert np.array_equal(got, base)
+
+
+@pytest.mark.parametrize("flipud", [False, True])
+@pytest.mark.parametrize("mode_freqs", [
+    ("log", np.geomspace(0.05, 50.0, 200)),
+    ("log-piecewise", None),
+    ("lin", np.linspace(0.05, 50.0, 200)),
+])
+def test_mxu_impl_matches_vpu(monkeypatch, mode_freqs, flipud):
+    """The MXU digit-split implementation (SSQ_TPU_REASSIGN_IMPL=mxu)
+    makes the same binning decisions as the one-hot row loop; values
+    agree to the bf16x3 split error."""
+    mode_expect, ssq_freqs = mode_freqs
+    Wx, dWx, scales = _setup()
+    if ssq_freqs is None:   # log-piecewise grid from two dvl segments
+        ssq_freqs = np.concatenate([np.geomspace(0.05, 5.0, 150),
+                                    np.geomspace(5.1, 50.0, 50)])
+    na, n = Wx.shape
+    nf = len(ssq_freqs)
+    gamma = 1e-5
+    const = np.full(na, 0.021, np.float64)
+
+    mode, params = bin_params(ssq_freqs, mode_expect.startswith("log"))
+    Sfs = jnp.zeros((na,), jnp.float32)
+    args = (jnp.asarray(Wx), jnp.asarray(dWx),
+            jnp.asarray(const, jnp.float32), gamma, Sfs, params)
+    kw = dict(mode=mode, flipud=flipud, transform="cwt", nf=nf,
+              interpret=True)
+
+    monkeypatch.delenv("SSQ_TPU_REASSIGN_IMPL", raising=False)
+    ref = np.asarray(reassign_pallas(*args, **kw))
+    monkeypatch.setenv("SSQ_TPU_REASSIGN_IMPL", "mxu")
+    out = np.asarray(reassign_pallas(*args, **kw))
+
+    assert out.shape == ref.shape
+    diff = np.abs(out - ref)
+    denom = np.abs(ref).sum()
+    assert diff.sum() / denom < 2e-5, diff.sum() / denom
+    # binning structure identical: nonzero patterns match
+    assert ((np.abs(out) > 0) == (np.abs(ref) > 0)).mean() > 0.9999
