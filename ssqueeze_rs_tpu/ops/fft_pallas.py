@@ -133,6 +133,29 @@ def _fused_consts(M: int, r0: int, r1: int, tiles: int = 1):
     return split(W1s), Tr, Ti, split(W2sT), _alt_sign(M)
 
 
+@functools.lru_cache(maxsize=32)
+def _fused_consts_cat(M: int, r0: int, r1: int, tiles: int = 1):
+    """Stacked-contraction ("dot1") stage constants: the bf16x3 3-dot sum
+    wh@xh + wh@xl + wl@xh is ONE dot with 3x contraction depth,
+    [wh | wh | wl] @ [xh; xl; xh].  Same MACs, one MXU issue instead of
+    three, and a single f32 product temporary instead of three (the VMEM
+    pressure that forced one-at-a-time accumulation in the tiled path).
+    W1cat: (2M1, 3*2K1) bf16; W2cat: (3*2Mt*tiles..., 2R) stage-2 rows
+    stacked [Wh; Wh; Wl] per-tile so the tiled BlockSpec still indexes
+    contiguous row blocks."""
+    (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(M, r0, r1, tiles)
+    W1cat = np.concatenate([W1h, W1h, W1l], axis=1)
+    if tiles == 1:
+        W2cat = np.concatenate([W2h, W2h, W2l], axis=0)
+    else:
+        rows = W2h.shape[0] // tiles
+        W2cat = np.concatenate(
+            [np.concatenate([W2h[t * rows:(t + 1) * rows]] * 2
+                            + [W2l[t * rows:(t + 1) * rows]], axis=0)
+             for t in range(tiles)], axis=0)
+    return W1cat, Tr, Ti, W2cat, alt
+
+
 def _split_bf16(x):
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -152,6 +175,29 @@ def _dot3_r(x, wh, wl):
     xh, xl = _split_bf16(x)
     d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
     return d(xh, wh) + d(xl, wh) + d(xh, wl)
+
+
+def _dot1(wcat, x, f32=False):
+    """Single-dot bf16x3: wcat = [wh | wh | wl] host-stacked along the
+    contraction axis; the data splits concat in-kernel as [xh; xl; xh].
+    Numerically the same three products as _dot3, summed by the MXU's
+    f32 accumulator instead of two VPU adds.  f32=True casts the bf16
+    operands up before the dot (identical values — bf16 is exact in
+    f32) for the CPU interpret path, whose DotThunk rejects some
+    bf16 x bf16 -> f32 shapes."""
+    xh, xl = _split_bf16(x)
+    xcat = jnp.concatenate([xh, xl, xh], axis=0)
+    if f32:
+        wcat, xcat = wcat.astype(jnp.float32), xcat.astype(jnp.float32)
+    return jnp.dot(wcat, xcat, preferred_element_type=jnp.float32)
+
+
+def _dot1_r(x, wcat, f32=False):
+    xh, xl = _split_bf16(x)
+    xcat = jnp.concatenate([xh, xl, xh], axis=1)
+    if f32:
+        wcat, xcat = wcat.astype(jnp.float32), xcat.astype(jnp.float32)
+    return jnp.dot(xcat, wcat, preferred_element_type=jnp.float32)
 
 
 def _stage2_accumulate(acc_ref, zr, zi, t, w1h, w1l, Tr, Ti, w2h, w2l):
@@ -202,20 +248,28 @@ def _make_kernel_tiled(M1, Mt, R, off, L, T):
     return kernel
 
 
-def _make_kernel(M1, M2, R, off, L):
-    def kernel(zr_ref, zi_ref, nyqr_ref, nyqi_ref, w1h_ref, w1l_ref,
-               tr_ref, ti_ref, w2h_ref, w2l_ref, alt_ref, outr_ref,
-               outi_ref):
+def _make_kernel(M1, M2, R, off, L, impl="dot3", interp=False):
+    def kernel(zr_ref, zi_ref, nyqr_ref, nyqi_ref, *rest):
         # stage 1: (2M1, M1) @ (M1, M2) — contraction = 2*K1 = M1
         X = jnp.concatenate([zr_ref[0], zi_ref[0]], axis=0)   # (M1, M2)
-        B1 = _dot3(w1h_ref[:], w1l_ref[:], X)                 # (2M1, M2)
+        if impl == "dot3":
+            (w1h_ref, w1l_ref, tr_ref, ti_ref, w2h_ref, w2l_ref,
+             alt_ref, outr_ref, outi_ref) = rest
+            B1 = _dot3(w1h_ref[:], w1l_ref[:], X)             # (2M1, M2)
+        else:
+            (w1c_ref, tr_ref, ti_ref, w2c_ref,
+             alt_ref, outr_ref, outi_ref) = rest
+            B1 = _dot1(w1c_ref[:], X, f32=interp)
         Br, Bi = B1[:M1], B1[M1:]
         # twiddle + plane pairing on the k2 axis
         Tr, Ti = tr_ref[:], ti_ref[:]
         C2 = jnp.concatenate([Br * Tr - Bi * Ti, Br * Ti + Bi * Tr],
                              axis=-1)                         # (M1, 2M2)
         # stage 2: (M1, 2M2) @ (2M2, 2R)
-        OUT = _dot3_r(C2, w2h_ref[:], w2l_ref[:])             # (M1, 2R)
+        if impl == "dot3":
+            OUT = _dot3_r(C2, w2h_ref[:], w2l_ref[:])         # (M1, 2R)
+        else:
+            OUT = _dot1_r(C2, w2c_ref[:], f32=interp)
         OUT = OUT.T.reshape(2, R * M1)                        # (2,(n2,n1))
         alt = alt_ref[0]                                      # (L,)
         outr_ref[0, 0] = OUT[0, off:off + L] + nyqr_ref[0, 0, 0] * alt
@@ -224,8 +278,9 @@ def _make_kernel(M1, M2, R, off, L):
 
 
 @functools.partial(jax.jit, static_argnames=("M", "keep", "interpret",
-                                              "tiles"))
-def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret, tiles=1):
+                                              "tiles", "impl"))
+def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret, tiles=1,
+                impl="dot3"):
     B, K1, M2 = Zr.shape
     M1 = 2 * K1
     start, length = keep
@@ -233,12 +288,21 @@ def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret, tiles=1):
     r1 = -(-(start + length) // M1)
     R = r1 - r0
     off = start - r0 * M1
-    (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(M, r0, r1, tiles)
+    if tiles > 1 or impl == "merged":
+        impl = "dot3" if tiles > 1 else "dot1"
+    if impl == "dot3":
+        (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(
+            M, r0, r1, tiles)
+        wmats = [W1h, W1l, Tr, Ti, W2h, W2l]
+    else:
+        W1c, Tr, Ti, W2c, alt = _fused_consts_cat(M, r0, r1, tiles)
+        W1h, W2h = W1c, W2c
+        wmats = [W1c, Tr, Ti, W2c]
     alt_keep = alt[start:start + length][None, :]
     T, Mt = tiles, M2 // tiles
 
     if T == 1:
-        kernel = _make_kernel(M1, M2, R, off, length)
+        kernel = _make_kernel(M1, M2, R, off, length, impl, interpret)
         grid = (B,)
         row = lambda i: (i, 0, 0)
         const2 = lambda i: (0, 0)
@@ -261,6 +325,14 @@ def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret, tiles=1):
         out_idx = lambda i, t: (i, 0, 0)
         scratch = [pltpu.VMEM((M1, 2 * R), jnp.float32)]
 
+    trspec = pl.BlockSpec((M1, Mt), tile2, memory_space=pltpu.VMEM)
+    if impl == "dot3":
+        w1spec = pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM)
+        wspecs = [w1spec, w1spec, trspec, trspec, w2spec, w2spec]
+    else:
+        wspecs = [pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
+                  trspec, trspec,
+                  pl.BlockSpec(W2h.shape, const2, memory_space=pltpu.VMEM)]
     outr, outi = pl.pallas_call(
         kernel,
         grid=grid,
@@ -271,12 +343,7 @@ def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret, tiles=1):
             # two block dims to (8,128)-divisible or full-array-equal
             pl.BlockSpec((1, 1, 128), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 128), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((M1, Mt), tile2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((M1, Mt), tile2, memory_space=pltpu.VMEM),
-            w2spec,
-            w2spec,
+        ] + wspecs + [
             pl.BlockSpec((1, length), const2, memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec((1, 1, length), out_idx,
@@ -291,8 +358,7 @@ def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret, tiles=1):
             vmem_limit_bytes=127 * 1024 * 1024))),
     )(Zr, Zi, jnp.broadcast_to(nyq_r[:, None, None], (B, 1, 128)),
       jnp.broadcast_to(nyq_i[:, None, None], (B, 1, 128)),
-      jnp.asarray(W1h), jnp.asarray(W1l), jnp.asarray(Tr), jnp.asarray(Ti),
-      jnp.asarray(W2h), jnp.asarray(W2l), jnp.asarray(alt_keep))
+      *[jnp.asarray(w) for w in wmats], jnp.asarray(alt_keep))
     return outr[:, 0], outi[:, 0]
 
 
@@ -308,9 +374,9 @@ def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret, tiles=1):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_ifft_vjp(static, Zr, Zi, nyq_r, nyq_i):
-    M, keep, interpret, tiles = static
+    M, keep, interpret, tiles, impl = static
     return _fused_call(Zr, Zi, nyq_r, nyq_i, M=M, keep=keep,
-                       interpret=interpret, tiles=tiles)
+                       interpret=interpret, tiles=tiles, impl=impl)
 
 
 def _ifft_transpose(keep, shapes, g):
@@ -330,7 +396,7 @@ def _fused_ifft_fwd(static, Zr, Zi, nyq_r, nyq_i):
 
 
 def _fused_ifft_bwd(static, res, g):
-    M, keep, _, _ = static
+    M, keep = static[:2]
     B = g[0].shape[0]
     M1, M2 = best_split(M)
     zshape = jax.ShapeDtypeStruct((B, M1 // 2, M2), jnp.float32)
@@ -342,7 +408,7 @@ _fused_ifft_vjp.defvjp(_fused_ifft_fwd, _fused_ifft_bwd)
 
 
 def ifft_halfband_planar_fused(Zr, Zi, keep=None, nyq_r=None, nyq_i=None,
-                               interpret=None, tiles=None):
+                               interpret=None, tiles=None, impl=None):
     """Drop-in for fft_mxu.ifft_mxu_halfband_planar (same contract):
     Zr/Zi (B, K1, M2) f32 planes of the half spectrum, keep=(start, len),
     nyq planes (B,). Returns (xr, xi) (B, len) f32. Differentiable
@@ -364,8 +430,10 @@ def ifft_halfband_planar_fused(Zr, Zi, keep=None, nyq_r=None, nyq_i=None,
                              "check fused_ok(M) before calling")
     elif M2 % tiles:
         raise ValueError(f"tiles={tiles} must divide M2={M2}")
+    if impl is None:
+        impl = fft_impl()
     nyq_r, nyq_i = _check_nyq(nyq_r, nyq_i, B, Zr.dtype)
-    return _fused_ifft_vjp((M, tuple(keep), interpret, int(tiles)),
+    return _fused_ifft_vjp((M, tuple(keep), interpret, int(tiles), impl),
                            Zr, Zi, nyq_r, nyq_i)
 
 
@@ -405,10 +473,18 @@ def _make_cwt_kernel_tiled(M1, Mt, R, off, L, derivative, T):
     return kernel
 
 
-def _make_cwt_kernel(M1, M2, R, off, L, derivative):
-    K1 = M1 // 2
+def _make_cwt_kernel(M1, M2, R, off, L, derivative, impl="dot3",
+                     interp=False):
+    """Untiled cwt-mode kernel. impl selects the MXU issue pattern
+    (identical math, different dot granularity — the kernel is
+    dot-ISSUE-bound, not MAC-bound, at production shapes):
 
-    def pipeline(zr, zi, w1h, w1l, Tr, Ti, w2h, w2l):
+      dot3   : per-pipeline bf16x3 as 3 dots/stage (12 dots/row w/ deriv)
+      dot1   : stacked-contraction single dot per stage (4 dots/row)
+      merged : dot1 + the Wx/dWx pipelines share dots by stacking along
+               the non-contracted axis (2 dots/row, 6x the MACs each)
+    """
+    def pipeline3(zr, zi, w1h, w1l, Tr, Ti, w2h, w2l):
         X = jnp.concatenate([zr, zi], axis=0)              # (2K1, M2)
         B1 = _dot3(w1h, w1l, X)                            # (2M1, M2)
         Br, Bi = B1[:M1], B1[M1:]
@@ -417,22 +493,63 @@ def _make_cwt_kernel(M1, M2, R, off, L, derivative):
         OUT = _dot3_r(C2, w2h, w2l)                        # (M1, 2R)
         return OUT.T.reshape(2, R * M1)[:, off:off + L]
 
+    def pipeline1(zr, zi, w1c, Tr, Ti, w2c):
+        X = jnp.concatenate([zr, zi], axis=0)
+        B1 = _dot1(w1c, X, f32=interp)
+        Br, Bi = B1[:M1], B1[M1:]
+        C2 = jnp.concatenate([Br * Tr - Bi * Ti, Br * Ti + Bi * Tr],
+                             axis=-1)
+        OUT = _dot1_r(C2, w2c, f32=interp)
+        return OUT.T.reshape(2, R * M1)[:, off:off + L]
+
     def kernel(pw_ref, xr_ref, xi_ref, xig_ref, invdt_ref, nwr_ref,
-               nwi_ref, ndr_ref, ndi_ref, w1h_ref, w1l_ref, tr_ref,
-               ti_ref, w2h_ref, w2l_ref, alt_ref, owr_ref, owi_ref,
-               odr_ref, odi_ref):
+               nwi_ref, ndr_ref, ndi_ref, *rest):
+        if impl == "dot3":
+            (w1h_ref, w1l_ref, tr_ref, ti_ref, w2h_ref, w2l_ref,
+             alt_ref, owr_ref, owi_ref, odr_ref, odi_ref) = rest
+            args = (w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
+                    w2h_ref[:], w2l_ref[:])
+            pipe = pipeline3
+        else:
+            (w1c_ref, tr_ref, ti_ref, w2c_ref,
+             alt_ref, owr_ref, owi_ref, odr_ref, odi_ref) = rest
+            args = (w1c_ref[:], tr_ref[:], ti_ref[:], w2c_ref[:])
+            pipe = pipeline1
         p = pw_ref[0]                                      # (K1, M2)
         zr = p * xr_ref[0]
         zi = p * xi_ref[0]
-        args = (w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
-                w2h_ref[:], w2l_ref[:])
         alt = alt_ref[0]
-        OW = pipeline(zr, zi, *args)
+
+        if impl == "merged" and derivative:
+            s = xig_ref[:] * invdt_ref[0, 0, 0]
+            w1c, Tr, Ti, w2c = args
+            Xw = jnp.concatenate([zr, zi], axis=0)          # (M1, M2)
+            Xd = jnp.concatenate([-zi * s, zr * s], axis=0)
+            X = jnp.concatenate([Xw, Xd], axis=1)           # (M1, 2M2)
+            B1 = _dot1(w1c, X, f32=interp)                  # (2M1, 2M2)
+            Br, Bi = B1[:M1], B1[M1:]
+            Brw, Brd = Br[:, :M2], Br[:, M2:]
+            Biw, Bid = Bi[:, :M2], Bi[:, M2:]
+            C2w = jnp.concatenate([Brw * Tr - Biw * Ti,
+                                   Brw * Ti + Biw * Tr], axis=-1)
+            C2d = jnp.concatenate([Brd * Tr - Bid * Ti,
+                                   Brd * Ti + Bid * Tr], axis=-1)
+            C2 = jnp.concatenate([C2w, C2d], axis=0)        # (2M1, 2M2)
+            OUT = _dot1_r(C2, w2c, f32=interp)              # (2M1, 2R)
+            OW = OUT[:M1].T.reshape(2, R * M1)[:, off:off + L]
+            OD = OUT[M1:].T.reshape(2, R * M1)[:, off:off + L]
+            owr_ref[0, 0] = OW[0] + nwr_ref[0, 0, 0] * alt
+            owi_ref[0, 0] = OW[1] + nwi_ref[0, 0, 0] * alt
+            odr_ref[0, 0] = OD[0] + ndr_ref[0, 0, 0] * alt
+            odi_ref[0, 0] = OD[1] + ndi_ref[0, 0, 0] * alt
+            return
+
+        OW = pipe(zr, zi, *args)
         owr_ref[0, 0] = OW[0] + nwr_ref[0, 0, 0] * alt
         owi_ref[0, 0] = OW[1] + nwi_ref[0, 0, 0] * alt
         if derivative:
             s = xig_ref[:] * invdt_ref[0, 0, 0]
-            OD = pipeline(-zi * s, zr * s, *args)
+            OD = pipe(-zi * s, zr * s, *args)
             odr_ref[0, 0] = OD[0] + ndr_ref[0, 0, 0] * alt
             odi_ref[0, 0] = OD[1] + ndi_ref[0, 0, 0] * alt
         else:
@@ -442,9 +559,9 @@ def _make_cwt_kernel(M1, M2, R, off, L, derivative):
 
 
 @functools.partial(jax.jit, static_argnames=("M", "keep", "derivative",
-                                             "interpret", "tiles"))
+                                             "interpret", "tiles", "impl"))
 def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
-                    derivative, interpret, tiles=1):
+                    derivative, interpret, tiles=1, impl="dot3"):
     na, K1, M2 = Pw.shape
     b = xr_g.shape[0]           # xr_g/xi_g: (b, K1, M2)
     rows = b * na               # output rows, b-major (i = ib*na + ia)
@@ -454,12 +571,22 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
     r1 = -(-(start + length) // M1)
     R = r1 - r0
     off = start - r0 * M1
-    (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(M, r0, r1, tiles)
+    if tiles > 1:
+        impl = "dot3"           # tiled path keeps the 3-dot accumulate
+    if impl == "dot3":
+        (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(
+            M, r0, r1, tiles)
+        wmats = [W1h, W1l, Tr, Ti, W2h, W2l]
+    else:
+        W1c, Tr, Ti, W2c, alt = _fused_consts_cat(M, r0, r1, tiles)
+        W1h, W2h = W1c, W2c     # shapes referenced by the specs below
+        wmats = [W1c, Tr, Ti, W2c]
     alt_keep = alt[start:start + length][None, :]
     T, Mt = tiles, M2 // tiles
 
     if T == 1:
-        kernel = _make_cwt_kernel(M1, M2, R, off, length, derivative)
+        kernel = _make_cwt_kernel(M1, M2, R, off, length, derivative,
+                                  impl, interpret)
         grid = (rows,)
         row3 = lambda i: (i, 0, 0)
         const2 = lambda i: (0, 0)
@@ -500,6 +627,14 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
     scal = jnp.broadcast_to(inv_dt.reshape(1, 1, 1), (1, 1, 128))
     out3 = lambda: pl.BlockSpec((1, 1, length), row3,
                                 memory_space=pltpu.VMEM)
+    trspec = pl.BlockSpec((M1, Mt), tile2, memory_space=pltpu.VMEM)
+    if impl == "dot3":
+        w1spec = pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM)
+        wspecs = [w1spec, w1spec, trspec, trspec, w2spec, w2spec]
+    else:
+        wspecs = [pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
+                  trspec, trspec,
+                  pl.BlockSpec(W2h.shape, const2, memory_space=pltpu.VMEM)]
     owr, owi, odr, odi = pl.pallas_call(
         kernel,
         grid=grid,
@@ -513,12 +648,7 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
             pl.BlockSpec((1, 1, 128), row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 128), row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 128), row3, memory_space=pltpu.VMEM),
-            pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((M1, Mt), tile2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((M1, Mt), tile2, memory_space=pltpu.VMEM),
-            w2spec,
-            w2spec,
+        ] + wspecs + [
             pl.BlockSpec((1, length), const2, memory_space=pltpu.VMEM),
         ],
         out_specs=(out3(), out3(), out3(), out3()),
@@ -529,9 +659,8 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024))),
     )(Pw, xr_g, xi_g, xig, scal, lane(nyq_w[0]), lane(nyq_w[1]),
-      lane(nyq_d[0]), lane(nyq_d[1]), jnp.asarray(W1h), jnp.asarray(W1l),
-      jnp.asarray(Tr), jnp.asarray(Ti), jnp.asarray(W2h), jnp.asarray(W2l),
-      jnp.asarray(alt_keep))
+      lane(nyq_d[0]), lane(nyq_d[1]),
+      *[jnp.asarray(w) for w in wmats], jnp.asarray(alt_keep))
     return owr[:, 0], owi[:, 0], odr[:, 0], odi[:, 0]
 
 
@@ -563,10 +692,10 @@ def _cwt_fused_ref(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, keep,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _cwt_fused_vjp(static, Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d):
-    M, keep, derivative, interpret, tiles = static
+    M, keep, derivative, interpret, tiles, impl = static
     return _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d,
                            M=M, keep=keep, derivative=derivative,
-                           interpret=interpret, tiles=tiles)
+                           interpret=interpret, tiles=tiles, impl=impl)
 
 
 def _cwt_fused_fwd(static, Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d):
@@ -579,7 +708,7 @@ def _cwt_fused_bwd(static, res, g):
     """Backward with NO wasted forward pass: one transpose of the linear
     iFFT stage, then the hand-written adjoint of the elementwise Z-build
     (Z = Pw * x; derivative pipe dZ = (-Zi, Zr) * xig * inv_dt)."""
-    _, keep, derivative, _, _ = static
+    _, keep, derivative = static[:3]
     Pw, xr_g, xi_g, xig, inv_dt = res
     g_owr, g_owi, g_odr, g_odi = g
     b = xr_g.shape[0]
@@ -629,9 +758,22 @@ def _cwt_fused_bwd(static, res, g):
 _cwt_fused_vjp.defvjp(_cwt_fused_fwd, _cwt_fused_bwd)
 
 
+def fft_impl() -> str:
+    """MXU issue pattern for the untiled fused kernels — 'dot3' (3 dots
+    per bf16x3 stage), 'dot1' (stacked-contraction single dot) or
+    'merged' (dot1 + shared Wx/dWx dots). Read at call time and threaded
+    as a static arg, so in-process jit caching stays correct (unlike a
+    trace-time env read)."""
+    import os
+    v = os.environ.get("SSQ_TPU_FFT_IMPL", "dot3")
+    if v not in ("dot3", "dot1", "merged"):
+        raise ValueError(f"SSQ_TPU_FFT_IMPL={v!r}: want dot3|dot1|merged")
+    return v
+
+
 def cwt_halfband_fused(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d,
                        keep=None, derivative=True, interpret=None,
-                       tiles=None):
+                       tiles=None, impl=None):
     """Fully fused CWT core: filterbank multiply (Z = psih * xhat), the
     four-step half-band iFFT, unpad and Nyquist correction — one Pallas
     kernel, no Z materialization in HBM.
@@ -659,7 +801,9 @@ def cwt_halfband_fused(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d,
                              "check fused_ok(M, pipelines) before calling")
     elif M2 % tiles:
         raise ValueError(f"tiles={tiles} must divide M2={M2}")
+    if impl is None:
+        impl = fft_impl()
     return _cwt_fused_vjp(
-        (M, tuple(keep), bool(derivative), interpret, int(tiles)),
+        (M, tuple(keep), bool(derivative), interpret, int(tiles), impl),
         Pw, xr_g, xi_g, jnp.asarray(xig), jnp.asarray(inv_dt),
         tuple(nyq_w), tuple(nyq_d))

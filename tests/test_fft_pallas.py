@@ -179,3 +179,50 @@ def test_cwt_fused_batched_matches_per_signal(tiles):
         for p, q in zip(got, want):
             assert np.allclose(np.asarray(p[sl]), np.asarray(q),
                                atol=1e-5), (ib, tiles)
+
+
+@pytest.mark.parametrize("impl", ["dot1", "merged"])
+@pytest.mark.parametrize("derivative", [False, True])
+def test_cwt_fused_impl_variants_match_dot3(impl, derivative):
+    """The stacked-contraction (dot1) and pipeline-merged (merged) MXU
+    issue patterns compute the same bf16x3 products as dot3 — only the
+    dot granularity and accumulation order differ."""
+    from ssqueeze_rs_tpu.ops.fft_pallas import cwt_halfband_fused
+    M = 1 << 14
+    M1, M2 = best_split(M)
+    K1 = M1 // 2
+    rng = np.random.default_rng(11)
+    na = 4
+    Pw = jnp.asarray(rng.standard_normal((na, K1, M2)), jnp.float32)
+    xr = jnp.asarray(rng.standard_normal((K1, M2)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((K1, M2)), jnp.float32)
+    xig = jnp.asarray(rng.uniform(0, 3, (K1, M2)), jnp.float32)
+    znyq = jnp.asarray(rng.standard_normal(na), jnp.float32)
+    zeros = jnp.zeros_like(znyq)
+    kw = dict(keep=(100, 9000), derivative=derivative, interpret=True,
+              tiles=1)
+    a = cwt_halfband_fused(Pw, xr, xi, xig, 2.0, (znyq, zeros),
+                           (zeros, znyq), impl="dot3", **kw)
+    b = cwt_halfband_fused(Pw, xr, xi, xig, 2.0, (znyq, zeros),
+                           (zeros, znyq), impl=impl, **kw)
+    n = 4 if derivative else 2
+    for p, q in zip(a[:n], b[:n]):
+        scale = float(jnp.max(jnp.abs(p))) + 1e-30
+        rel = float(jnp.max(jnp.abs(p - q))) / scale
+        assert rel < 5e-6, rel
+
+
+def test_ifft_fused_impl_dot1_matches_dot3():
+    from ssqueeze_rs_tpu.ops.fft_pallas import ifft_halfband_planar_fused
+    M = 1 << 14
+    M1, M2 = best_split(M)
+    K1 = M1 // 2
+    rng = np.random.default_rng(12)
+    Zr = jnp.asarray(rng.standard_normal((3, K1, M2)), jnp.float32)
+    Zi = jnp.asarray(rng.standard_normal((3, K1, M2)), jnp.float32)
+    kw = dict(keep=(50, 12000), interpret=True, tiles=1)
+    a = ifft_halfband_planar_fused(Zr, Zi, impl="dot3", **kw)
+    b = ifft_halfband_planar_fused(Zr, Zi, impl="dot1", **kw)
+    for p, q in zip(a, b):
+        scale = float(jnp.max(jnp.abs(p))) + 1e-30
+        assert float(jnp.max(jnp.abs(p - q))) / scale < 5e-6
