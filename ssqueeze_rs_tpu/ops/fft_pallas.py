@@ -224,20 +224,46 @@ def _stage2_accumulate(acc_ref, zr, zi, t, w1h, w1l, Tr, Ti, w2h, w2l):
     acc_ref[:] = acc_ref[:] + d(xh, w2l)
 
 
-def _make_kernel_tiled(M1, Mt, R, off, L, T):
+def _stage2_accumulate1(acc_ref, zr, zi, t, w1c, Tr, Ti, w2c, interp):
+    """dot1 variant of _stage2_accumulate: one stacked-contraction dot
+    per stage (see _fused_consts_cat), one live f32 product."""
+    X = jnp.concatenate([zr, zi], axis=0)                 # (M1, Mt)
+    B1 = _dot1(w1c, X, f32=interp)                        # (2M1, Mt)
+    M1 = X.shape[0]
+    Br, Bi = B1[:M1], B1[M1:]
+    C2 = jnp.concatenate([Br * Tr - Bi * Ti, Br * Ti + Bi * Tr],
+                         axis=-1)                         # (M1, 2Mt)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = acc_ref[:] + _dot1_r(C2, w2c, f32=interp)
+
+
+def _make_kernel_tiled(M1, Mt, R, off, L, T, impl="dot3",
+                       interp=False):
     """k2-tiled variant: grid=(B, T), t innermost. Each step processes
     Mt = M2/T spectrum columns and accumulates the partial stage-2
     product (M1, 2R) in a VMEM scratch; the transpose/unpad/Nyquist
     epilogue runs once at t == T-1. The output block index map is
     constant in t, so the block is revisited (stays in VMEM) until the
     batch row advances."""
-    def kernel(zr_ref, zi_ref, nyqr_ref, nyqi_ref, w1h_ref, w1l_ref,
-               tr_ref, ti_ref, w2h_ref, w2l_ref, alt_ref, outr_ref,
-               outi_ref, acc_ref):
+    # (impl/interp threaded below — see _make_kernel for the variants)
+    def kernel(zr_ref, zi_ref, nyqr_ref, nyqi_ref, *rest):
         t = pl.program_id(1)
-        _stage2_accumulate(acc_ref, zr_ref[0], zi_ref[0], t,
-                           w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
-                           w2h_ref[:], w2l_ref[:])
+        if impl == "dot3":
+            (w1h_ref, w1l_ref, tr_ref, ti_ref, w2h_ref, w2l_ref,
+             alt_ref, outr_ref, outi_ref, acc_ref) = rest
+            _stage2_accumulate(acc_ref, zr_ref[0], zi_ref[0], t,
+                               w1h_ref[:], w1l_ref[:], tr_ref[:],
+                               ti_ref[:], w2h_ref[:], w2l_ref[:])
+        else:
+            (w1c_ref, tr_ref, ti_ref, w2c_ref,
+             alt_ref, outr_ref, outi_ref, acc_ref) = rest
+            _stage2_accumulate1(acc_ref, zr_ref[0], zi_ref[0], t,
+                                w1c_ref[:], tr_ref[:], ti_ref[:],
+                                w2c_ref[:], interp)
 
         @pl.when(t == T - 1)
         def _():
@@ -288,8 +314,8 @@ def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret, tiles=1,
     r1 = -(-(start + length) // M1)
     R = r1 - r0
     off = start - r0 * M1
-    if tiles > 1 or impl == "merged":
-        impl = "dot3" if tiles > 1 else "dot1"
+    if impl == "merged":
+        impl = "dot1"          # no second pipeline in the plain iFFT
     if impl == "dot3":
         (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(
             M, r0, r1, tiles)
@@ -312,14 +338,16 @@ def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret, tiles=1,
         out_idx = lambda i: (i, 0, 0)
         scratch = []
     else:
-        kernel = _make_kernel_tiled(M1, Mt, R, off, length, T)
+        kernel = _make_kernel_tiled(M1, Mt, R, off, length, T, impl,
+                                    interpret)
         grid = (B, T)
         row = lambda i, t: (i, 0, 0)
         const2 = lambda i, t: (0, 0)
         tile2 = lambda i, t: (0, t)
         zspec = pl.BlockSpec((1, K1, Mt), lambda i, t: (i, 0, t),
                              memory_space=pltpu.VMEM)
-        w2spec = pl.BlockSpec((2 * Mt, W2h.shape[1]), lambda i, t: (t, 0),
+        w2spec = pl.BlockSpec((W2h.shape[0] // T, W2h.shape[1]),
+                              lambda i, t: (t, 0),
                               memory_space=pltpu.VMEM)
         # accumulate in VMEM scratch; output block revisited across t
         out_idx = lambda i, t: (i, 0, 0)
@@ -331,8 +359,7 @@ def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret, tiles=1,
         wspecs = [w1spec, w1spec, trspec, trspec, w2spec, w2spec]
     else:
         wspecs = [pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
-                  trspec, trspec,
-                  pl.BlockSpec(W2h.shape, const2, memory_space=pltpu.VMEM)]
+                  trspec, trspec, w2spec]
     outr, outi = pl.pallas_call(
         kernel,
         grid=grid,
@@ -438,24 +465,35 @@ def ifft_halfband_planar_fused(Zr, Zi, keep=None, nyq_r=None, nyq_i=None,
 
 
 # -- cwt-mode fused kernel: filterbank multiply + iFFT in one pass ------------
-def _make_cwt_kernel_tiled(M1, Mt, R, off, L, derivative, T):
+def _make_cwt_kernel_tiled(M1, Mt, R, off, L, derivative, T,
+                           impl="dot3", interp=False):
     """k2-tiled cwt-mode kernel (see _make_kernel_tiled): grid=(na, T),
     Z = psih * xhat built per column tile in VMEM, partial stage-2
     products accumulated one dot at a time in per-pipeline scratches."""
     def kernel(pw_ref, xr_ref, xi_ref, xig_ref, invdt_ref, nwr_ref,
-               nwi_ref, ndr_ref, ndi_ref, w1h_ref, w1l_ref, tr_ref,
-               ti_ref, w2h_ref, w2l_ref, alt_ref, owr_ref, owi_ref,
-               odr_ref, odi_ref, accw_ref, accd_ref):
+               nwi_ref, ndr_ref, ndi_ref, *rest):
+        if impl == "dot3":
+            (w1h_ref, w1l_ref, tr_ref, ti_ref, w2h_ref, w2l_ref,
+             alt_ref, owr_ref, owi_ref, odr_ref, odi_ref,
+             accw_ref, accd_ref) = rest
+            acc = lambda ref, zr, zi, t: _stage2_accumulate(
+                ref, zr, zi, t, w1h_ref[:], w1l_ref[:], tr_ref[:],
+                ti_ref[:], w2h_ref[:], w2l_ref[:])
+        else:
+            (w1c_ref, tr_ref, ti_ref, w2c_ref,
+             alt_ref, owr_ref, owi_ref, odr_ref, odi_ref,
+             accw_ref, accd_ref) = rest
+            acc = lambda ref, zr, zi, t: _stage2_accumulate1(
+                ref, zr, zi, t, w1c_ref[:], tr_ref[:], ti_ref[:],
+                w2c_ref[:], interp)
         t = pl.program_id(1)
         p = pw_ref[0]                                      # (K1, Mt)
         zr = p * xr_ref[0]
         zi = p * xi_ref[0]
-        args = (w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
-                w2h_ref[:], w2l_ref[:])
-        _stage2_accumulate(accw_ref, zr, zi, t, *args)
+        acc(accw_ref, zr, zi, t)
         if derivative:
             s = xig_ref[:] * invdt_ref[0, 0, 0]
-            _stage2_accumulate(accd_ref, -zi * s, zr * s, t, *args)
+            acc(accd_ref, -zi * s, zr * s, t)
 
         @pl.when(t == T - 1)
         def _():
@@ -571,8 +609,8 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
     r1 = -(-(start + length) // M1)
     R = r1 - r0
     off = start - r0 * M1
-    if tiles > 1:
-        impl = "dot3"           # tiled path keeps the 3-dot accumulate
+    if tiles > 1 and impl == "merged":
+        impl = "dot1"           # merged would double the VMEM scratches
     if impl == "dot3":
         (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(
             M, r0, r1, tiles)
@@ -604,7 +642,7 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
         scratch = []
     else:
         kernel = _make_cwt_kernel_tiled(M1, Mt, R, off, length,
-                                        derivative, T)
+                                        derivative, T, impl, interpret)
         grid = (rows, T)
         row3 = lambda i, t: (i, 0, 0)
         const2 = lambda i, t: (0, 0)
@@ -617,7 +655,8 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
             (lambda i, t: (i % na, 0, t))), memory_space=pltpu.VMEM)
         xspec = pl.BlockSpec((1, K1, Mt), xmap, memory_space=pltpu.VMEM)
         gspec = pl.BlockSpec((K1, Mt), tile2, memory_space=pltpu.VMEM)
-        w2spec = pl.BlockSpec((2 * Mt, W2h.shape[1]), lambda i, t: (t, 0),
+        w2spec = pl.BlockSpec((W2h.shape[0] // T, W2h.shape[1]),
+                              lambda i, t: (t, 0),
                               memory_space=pltpu.VMEM)
         scratch = [pltpu.VMEM((M1, 2 * R), jnp.float32),
                    pltpu.VMEM((M1, 2 * R) if derivative else (8, 128),
@@ -633,8 +672,7 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
         wspecs = [w1spec, w1spec, trspec, trspec, w2spec, w2spec]
     else:
         wspecs = [pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
-                  trspec, trspec,
-                  pl.BlockSpec(W2h.shape, const2, memory_space=pltpu.VMEM)]
+                  trspec, trspec, w2spec]
     owr, owi, odr, odi = pl.pallas_call(
         kernel,
         grid=grid,

@@ -181,9 +181,10 @@ def test_cwt_fused_batched_matches_per_signal(tiles):
                                atol=1e-5), (ib, tiles)
 
 
+@pytest.mark.parametrize("tiles", [1, 4])
 @pytest.mark.parametrize("impl", ["dot1", "merged"])
 @pytest.mark.parametrize("derivative", [False, True])
-def test_cwt_fused_impl_variants_match_dot3(impl, derivative):
+def test_cwt_fused_impl_variants_match_dot3(impl, derivative, tiles):
     """The stacked-contraction (dot1) and pipeline-merged (merged) MXU
     issue patterns compute the same bf16x3 products as dot3 — only the
     dot granularity and accumulation order differ."""
@@ -199,12 +200,11 @@ def test_cwt_fused_impl_variants_match_dot3(impl, derivative):
     xig = jnp.asarray(rng.uniform(0, 3, (K1, M2)), jnp.float32)
     znyq = jnp.asarray(rng.standard_normal(na), jnp.float32)
     zeros = jnp.zeros_like(znyq)
-    kw = dict(keep=(100, 9000), derivative=derivative, interpret=True,
-              tiles=1)
+    kw = dict(keep=(100, 9000), derivative=derivative, interpret=True)
     a = cwt_halfband_fused(Pw, xr, xi, xig, 2.0, (znyq, zeros),
-                           (zeros, znyq), impl="dot3", **kw)
+                           (zeros, znyq), impl="dot3", tiles=1, **kw)
     b = cwt_halfband_fused(Pw, xr, xi, xig, 2.0, (znyq, zeros),
-                           (zeros, znyq), impl=impl, **kw)
+                           (zeros, znyq), impl=impl, tiles=tiles, **kw)
     n = 4 if derivative else 2
     for p, q in zip(a[:n], b[:n]):
         scale = float(jnp.max(jnp.abs(p))) + 1e-30
@@ -212,7 +212,8 @@ def test_cwt_fused_impl_variants_match_dot3(impl, derivative):
         assert rel < 5e-6, rel
 
 
-def test_ifft_fused_impl_dot1_matches_dot3():
+@pytest.mark.parametrize("tiles", [1, 4])
+def test_ifft_fused_impl_dot1_matches_dot3(tiles):
     from ssqueeze_rs_tpu.ops.fft_pallas import ifft_halfband_planar_fused
     M = 1 << 14
     M1, M2 = best_split(M)
@@ -220,9 +221,9 @@ def test_ifft_fused_impl_dot1_matches_dot3():
     rng = np.random.default_rng(12)
     Zr = jnp.asarray(rng.standard_normal((3, K1, M2)), jnp.float32)
     Zi = jnp.asarray(rng.standard_normal((3, K1, M2)), jnp.float32)
-    kw = dict(keep=(50, 12000), interpret=True, tiles=1)
-    a = ifft_halfband_planar_fused(Zr, Zi, impl="dot3", **kw)
-    b = ifft_halfband_planar_fused(Zr, Zi, impl="dot1", **kw)
+    kw = dict(keep=(50, 12000), interpret=True)
+    a = ifft_halfband_planar_fused(Zr, Zi, impl="dot3", tiles=1, **kw)
+    b = ifft_halfband_planar_fused(Zr, Zi, impl="dot1", tiles=tiles, **kw)
     for p, q in zip(a, b):
         scale = float(jnp.max(jnp.abs(p))) + 1e-30
         assert float(jnp.max(jnp.abs(p - q))) / scale < 5e-6
