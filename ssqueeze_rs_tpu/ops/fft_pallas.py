@@ -156,6 +156,25 @@ def _fused_consts_cat(M: int, r0: int, r1: int, tiles: int = 1):
     return W1cat, Tr, Ti, W2cat, alt
 
 
+@functools.lru_cache(maxsize=32)
+def _fused_consts_tcat(M: int, r0: int, r1: int):
+    """Transposed stacked-contraction ("tmerged") constants. With every
+    operand transposed the two stage dots produce OUT.T directly:
+
+        B1T  = [xh|xl|xh] @ [W1h.T; W1h.T; W1l.T]        (M2, 2M1)
+        OUTT = [W2h.T|W2h.T|W2l.T] @ [ch; cl; ch]        (2R, M1)
+
+    so the kernel contains NO transposes — the per-row (M1, 2R) -> (2R,
+    M1) VPU relayout of the dot3/dot1/merged epilogues disappears. The
+    caller supplies Pw/x/xig in (.., M2, K1) layout (XLA fuses the
+    transpose into the elementwise psih producer)."""
+    (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(M, r0, r1, 1)
+    W1Tcat = np.concatenate([W1h.T, W1h.T, W1l.T], axis=0)  # (3M1, 2M1)
+    W2Tcat = np.concatenate([W2h.T, W2h.T, W2l.T], axis=1)  # (2R, 6M2)
+    return (W1Tcat, np.ascontiguousarray(Tr.T),
+            np.ascontiguousarray(Ti.T), W2Tcat, alt)
+
+
 def _split_bf16(x):
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -314,7 +333,7 @@ def _fused_call(Zr, Zi, nyq_r, nyq_i, *, M, keep, interpret, tiles=1,
     r1 = -(-(start + length) // M1)
     R = r1 - r0
     off = start - r0 * M1
-    if impl == "merged":
+    if impl in ("merged", "tmerged"):
         impl = "dot1"          # no second pipeline in the plain iFFT
     if impl == "dot3":
         (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(
@@ -511,6 +530,68 @@ def _make_cwt_kernel_tiled(M1, Mt, R, off, L, derivative, T,
     return kernel
 
 
+def _make_cwt_kernel_t(M1, M2, R, off, L, derivative, interp=False):
+    """Transpose-free cwt-mode kernel (impl='tmerged'): all operands in
+    transposed layout — Pw/x (1, M2, K1), xig (M2, K1) — and the stage
+    constants from _fused_consts_tcat. 1 stacked dot per stage with the
+    Wx/dWx pipelines sharing dots (stacked along rows in stage 1,
+    columns in stage 2); the epilogue is a slice + last-two-dims
+    reshape, no relayout."""
+    K1 = M1 // 2
+
+    def kernel(pw_ref, xr_ref, xi_ref, xig_ref, invdt_ref, nwr_ref,
+               nwi_ref, ndr_ref, ndi_ref, w1t_ref, trt_ref, tit_ref,
+               w2t_ref, alt_ref, owr_ref, owi_ref, odr_ref, odi_ref):
+        p = pw_ref[0]                                   # (M2, K1)
+        zr = p * xr_ref[0]
+        zi = p * xi_ref[0]
+        XTw = jnp.concatenate([zr, zi], axis=1)         # (M2, M1)
+        if derivative:
+            s = xig_ref[:] * invdt_ref[0, 0, 0]
+            XTd = jnp.concatenate([-zi * s, zr * s], axis=1)
+            XT = jnp.concatenate([XTw, XTd], axis=0)    # (2M2, M1)
+        else:
+            XT = XTw
+        xh, xl = _split_bf16(XT)
+        xcat = jnp.concatenate([xh, xl, xh], axis=1)    # (pM2, 3M1)
+        w1t = w1t_ref[:]
+        if interp:
+            xcat, w1t = xcat.astype(jnp.float32), w1t.astype(jnp.float32)
+        B1T = jnp.dot(xcat, w1t,
+                      preferred_element_type=jnp.float32)  # (pM2, 2M1)
+        TrT, TiT = trt_ref[:], tit_ref[:]               # (M2, M1)
+
+        def twiddle_cat(Bt):                            # (M2, 2M1)
+            Br, Bi = Bt[:, :M1], Bt[:, M1:]
+            C2T = jnp.concatenate([Br * TrT - Bi * TiT,
+                                   Br * TiT + Bi * TrT], axis=0)
+            ch, cl = _split_bf16(C2T)                   # (2M2, M1)
+            return jnp.concatenate([ch, cl, ch], axis=0)   # (6M2, M1)
+
+        if derivative:
+            Ccat = jnp.concatenate([twiddle_cat(B1T[:M2]),
+                                    twiddle_cat(B1T[M2:])], axis=1)
+        else:
+            Ccat = twiddle_cat(B1T)
+        w2t = w2t_ref[:]
+        if interp:
+            Ccat, w2t = Ccat.astype(jnp.float32), w2t.astype(jnp.float32)
+        OUTT = jnp.dot(w2t, Ccat,
+                       preferred_element_type=jnp.float32)  # (2R, pM1)
+        alt = alt_ref[0]
+        OW = OUTT[:, :M1].reshape(2, R * M1)[:, off:off + L]
+        owr_ref[0, 0] = OW[0] + nwr_ref[0, 0, 0] * alt
+        owi_ref[0, 0] = OW[1] + nwi_ref[0, 0, 0] * alt
+        if derivative:
+            OD = OUTT[:, M1:].reshape(2, R * M1)[:, off:off + L]
+            odr_ref[0, 0] = OD[0] + ndr_ref[0, 0, 0] * alt
+            odi_ref[0, 0] = OD[1] + ndi_ref[0, 0, 0] * alt
+        else:
+            odr_ref[0, 0] = jnp.zeros((L,), jnp.float32)
+            odi_ref[0, 0] = jnp.zeros((L,), jnp.float32)
+    return kernel
+
+
 def _make_cwt_kernel(M1, M2, R, off, L, derivative, impl="dot3",
                      interp=False):
     """Untiled cwt-mode kernel. impl selects the MXU issue pattern
@@ -609,12 +690,21 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
     r1 = -(-(start + length) // M1)
     R = r1 - r0
     off = start - r0 * M1
-    if tiles > 1 and impl == "merged":
+    if tiles > 1 and impl in ("merged", "tmerged"):
         impl = "dot1"           # merged would double the VMEM scratches
     if impl == "dot3":
         (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(
             M, r0, r1, tiles)
         wmats = [W1h, W1l, Tr, Ti, W2h, W2l]
+    elif impl == "tmerged":
+        W1t, TrT, TiT, W2t, alt = _fused_consts_tcat(M, r0, r1)
+        wmats = [W1t, TrT, TiT, W2t]
+        # transposed operand layout; XLA fuses these into the
+        # elementwise psih/Z producers (no extra HBM pass in practice)
+        Pw = jnp.swapaxes(Pw, 1, 2)            # (na, M2, K1)
+        xr_g = jnp.swapaxes(xr_g, 1, 2)
+        xi_g = jnp.swapaxes(xi_g, 1, 2)
+        xig = jnp.swapaxes(xig, 0, 1)          # (M2, K1)
     else:
         W1c, Tr, Ti, W2c, alt = _fused_consts_cat(M, r0, r1, tiles)
         W1h, W2h = W1c, W2c     # shapes referenced by the specs below
@@ -622,7 +712,23 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
     alt_keep = alt[start:start + length][None, :]
     T, Mt = tiles, M2 // tiles
 
-    if T == 1:
+    if T == 1 and impl == "tmerged":
+        kernel = _make_cwt_kernel_t(M1, M2, R, off, length, derivative,
+                                    interpret)
+        grid = (rows,)
+        row3 = lambda i: (i, 0, 0)
+        const2 = lambda i: (0, 0)
+        const3 = lambda i: (0, 0, 0)
+        xmap = const3 if b == 1 else (lambda i: (i // na, 0, 0))
+        pwspec = pl.BlockSpec((1, M2, K1), (row3 if b == 1 else
+                                            (lambda i: (i % na, 0, 0))),
+                              memory_space=pltpu.VMEM)
+        xspec = pl.BlockSpec((1, M2, K1), xmap, memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((M2, K1), const2, memory_space=pltpu.VMEM)
+        wspecs = [pl.BlockSpec(w.shape, const2, memory_space=pltpu.VMEM)
+                  for w in wmats]
+        scratch = []
+    elif T == 1:
         kernel = _make_cwt_kernel(M1, M2, R, off, length, derivative,
                                   impl, interpret)
         grid = (rows,)
@@ -666,13 +772,16 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
     scal = jnp.broadcast_to(inv_dt.reshape(1, 1, 1), (1, 1, 128))
     out3 = lambda: pl.BlockSpec((1, 1, length), row3,
                                 memory_space=pltpu.VMEM)
-    trspec = pl.BlockSpec((M1, Mt), tile2, memory_space=pltpu.VMEM)
-    if impl == "dot3":
-        w1spec = pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM)
-        wspecs = [w1spec, w1spec, trspec, trspec, w2spec, w2spec]
-    else:
-        wspecs = [pl.BlockSpec(W1h.shape, const2, memory_space=pltpu.VMEM),
-                  trspec, trspec, w2spec]
+    if impl != "tmerged":
+        trspec = pl.BlockSpec((M1, Mt), tile2, memory_space=pltpu.VMEM)
+        if impl == "dot3":
+            w1spec = pl.BlockSpec(W1h.shape, const2,
+                                  memory_space=pltpu.VMEM)
+            wspecs = [w1spec, w1spec, trspec, trspec, w2spec, w2spec]
+        else:
+            wspecs = [pl.BlockSpec(W1h.shape, const2,
+                                   memory_space=pltpu.VMEM),
+                      trspec, trspec, w2spec]
     owr, owi, odr, odi = pl.pallas_call(
         kernel,
         grid=grid,
@@ -804,8 +913,9 @@ def fft_impl() -> str:
     trace-time env read)."""
     import os
     v = os.environ.get("SSQ_TPU_FFT_IMPL", "dot3")
-    if v not in ("dot3", "dot1", "merged"):
-        raise ValueError(f"SSQ_TPU_FFT_IMPL={v!r}: want dot3|dot1|merged")
+    if v not in ("dot3", "dot1", "merged", "tmerged"):
+        raise ValueError(
+            f"SSQ_TPU_FFT_IMPL={v!r}: want dot3|dot1|merged|tmerged")
     return v
 
 

@@ -182,7 +182,7 @@ def test_cwt_fused_batched_matches_per_signal(tiles):
 
 
 @pytest.mark.parametrize("tiles", [1, 4])
-@pytest.mark.parametrize("impl", ["dot1", "merged"])
+@pytest.mark.parametrize("impl", ["dot1", "merged", "tmerged"])
 @pytest.mark.parametrize("derivative", [False, True])
 def test_cwt_fused_impl_variants_match_dot3(impl, derivative, tiles):
     """The stacked-contraction (dot1) and pipeline-merged (merged) MXU

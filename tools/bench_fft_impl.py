@@ -60,7 +60,7 @@ def main():
         return f
 
     sums = {}
-    for impl in ("dot3", "dot1", "merged"):
+    for impl in ("dot3", "dot1", "merged", "tmerged"):
         try:
             f = make(impl)
             out = f(Pw, xr, xi, xig, 0)
