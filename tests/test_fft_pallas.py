@@ -149,8 +149,9 @@ def test_cwt_fused_matches_zbuild_route(derivative):
         assert rel < 5e-5, rel
 
 
-@pytest.mark.parametrize("tiles", [1, 4])
-def test_cwt_fused_batched_matches_per_signal(tiles):
+@pytest.mark.parametrize("tiles,impl", [(1, "dot3"), (4, "dot3"),
+                                        (1, "tmerged"), (1, "merged")])
+def test_cwt_fused_batched_matches_per_signal(tiles, impl):
     """Batched (b, K1, M2) signal planes: kernel output rows (b-major)
     equal per-signal single-batch calls (VERDICT r1 #8: fused path
     beyond b == 1)."""
@@ -167,7 +168,7 @@ def test_cwt_fused_batched_matches_per_signal(tiles):
     znyq = jnp.asarray(rng.standard_normal(b * na), jnp.float32)
     zeros = jnp.zeros_like(znyq)
     kw = dict(keep=(100, 9000), derivative=True, interpret=True,
-              tiles=tiles)
+              tiles=tiles, impl=impl)
     got = cwt_halfband_fused(Pw, xr, xi, xig, 2.0, (znyq, zeros),
                              (zeros, znyq), **kw)
     for ib in range(b):
