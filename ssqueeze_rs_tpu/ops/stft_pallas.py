@@ -100,16 +100,54 @@ def _w_consts(k_bytes, rows, n_fft):
     return _split3_bf16_np(W)
 
 
+def _cat6_np(Wh, Wm, Wl):
+    """Stacked-contraction ("dot1") constant: the bf16x6 6-dot sum is ONE
+    dot with 6x contraction depth, [Wh|Wh|Wh|Wm|Wm|Wl] @
+    [xh;xm;xl;xh;xm;xh] (same trick as fft_pallas._fused_consts_cat —
+    the kernels are dot-issue-bound, not MAC-bound)."""
+    return np.concatenate([Wh, Wh, Wh, Wm, Wm, Wl], axis=1)
+
+
+def _xcat6(X, axis=0, f32=False):
+    """In-kernel data side of _cat6_np: 3-way bf16 split concatenated as
+    [xh;xm;xl;xh;xm;xh] along the contraction axis. f32=True casts the
+    splits back up (identical values) for the CPU interpret path."""
+    xh = X.astype(jnp.bfloat16)
+    r1 = X - xh.astype(jnp.float32)
+    xm = r1.astype(jnp.bfloat16)
+    xl = (r1 - xm.astype(jnp.float32)).astype(jnp.bfloat16)
+    cat = jnp.concatenate([xh, xm, xl, xh, xm, xh], axis=axis)
+    return cat.astype(jnp.float32) if f32 else cat
+
+
+_DUMMY_W = np.zeros((8, 128), np.float32)  # placeholder operand (stacked)
+
+
+def stft_impl() -> str:
+    """MXU issue pattern for the STFT-family kernels — 'dot6' (6 dots
+    per bf16x6 matmul) or 'dot1' (stacked-contraction single dot; same
+    MACs, one MXU issue — the kernels are dot-issue-bound at these
+    small dot shapes, ~70 T MAC/s back-to-back vs 1.6 P single-dot).
+    Read at CALL time and threaded as a static jit arg (like
+    fft_pallas.fft_impl), so in-process switching is safe."""
+    import os
+    v = os.environ.get("SSQ_TPU_STFT_IMPL", "dot6")
+    if v not in ("dot6", "dot1"):
+        raise ValueError(f"SSQ_TPU_STFT_IMPL={v!r}: want dot6|dot1")
+    return v
+
+
 def _frames_dft_into(dst, x_ref, j, y_ref, f_ref, wh_ref, wm_ref, wl_ref,
-                     n_fft, nf_pad, T):
+                     n_fft, nf_pad, T, impl="dot6", interp=False):
     """Shared kernel block: Hankel frame build (one dynamic copy of the
     tile's signal window, then n_fft STATIC row slices — trace-time
     unrolled) followed by the bf16x6 stacked windowed-DFT dots,
-    accumulated into `dst` one at a time. bf16x6 = 3-way splits of both
-    operands, dropping terms below 2^-27 (~1e-8 relative, well inside
-    the 5e-6 bar the HIGHEST XLA path was validated against; 2-way
-    splits cap at ~2^-18 ~ 5e-6, measured right AT the bar). The extra
-    dots are free — the kernels' MXU share is negligible."""
+    accumulated into `dst` one at a time ('dot6') or issued as ONE
+    stacked-contraction dot ('dot1', wh_ref holds the _cat6_np constant
+    and wm/wl hold dummies). bf16x6 = 3-way splits of both operands,
+    dropping terms below 2^-27 (~1e-8 relative, well inside the 5e-6
+    bar the HIGHEST XLA path was validated against; 2-way splits cap at
+    ~2^-18 ~ 5e-6, measured right AT the bar)."""
     Y = T + nf_pad
     y_ref[0, :] = x_ref[0, 0, pl.ds(j * T, Y)]
     y = y_ref[0]
@@ -119,11 +157,15 @@ def _frames_dft_into(dst, x_ref, j, y_ref, f_ref, wh_ref, wm_ref, wl_ref,
         f_ref[n_fft:, :] = jnp.zeros((nf_pad - n_fft, T), jnp.float32)
 
     X = f_ref[:]
+    d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    if impl == "dot1":
+        w = wh_ref[:].astype(jnp.float32) if interp else wh_ref[:]
+        dst[:] = d(w, _xcat6(X, axis=0, f32=interp))
+        return
     xh = X.astype(jnp.bfloat16)
     r1 = X - xh.astype(jnp.float32)
     xm = r1.astype(jnp.bfloat16)
     xl = (r1 - xm.astype(jnp.float32)).astype(jnp.bfloat16)
-    d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
     dst[:] = d(wh_ref[:], xh)
     dst[:] += d(wh_ref[:], xm)
     dst[:] += d(wh_ref[:], xl)
@@ -132,17 +174,19 @@ def _frames_dft_into(dst, x_ref, j, y_ref, f_ref, wh_ref, wm_ref, wl_ref,
     dst[:] += d(wl_ref[:], xh)
 
 
-def _make_kernel(n_fft, nf_pad, T, rows_pad):
+def _make_kernel(n_fft, nf_pad, T, rows_pad, impl, interp):
     def kernel(x_ref, wh_ref, wm_ref, wl_ref, out_ref, y_ref, f_ref):
         _frames_dft_into(out_ref.at[0], x_ref, pl.program_id(1), y_ref,
-                         f_ref, wh_ref, wm_ref, wl_ref, n_fft, nf_pad, T)
+                         f_ref, wh_ref, wm_ref, wl_ref, n_fft, nf_pad, T,
+                         impl, interp)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "rows", "n_out",
-                                             "interpret"))
-def _stft_fused_call(xp, Wh, Wm, Wl, *, n_fft, rows, n_out, interpret):
+                                             "impl", "interpret"))
+def _stft_fused_call(xp, Wh, Wm, Wl, *, n_fft, rows, n_out, impl,
+                     interpret):
     """xp: (B, Mp) f32 padded signal; returns (B, rows, n_out) f32 —
     the stacked [Sr; Si(; dSr; dSi)] planes (hop = 1)."""
     B, Mp = xp.shape
@@ -159,7 +203,7 @@ def _stft_fused_call(xp, Wh, Wm, Wl, *, n_fft, rows, n_out, interpret):
     # a (B, Mp) array for B > 1)
     xp = jnp.pad(xp, ((0, 0), (0, Mp_pad - Mp)))[:, None, :]
 
-    kernel = _make_kernel(n_fft, nf_pad, T, rows_pad)
+    kernel = _make_kernel(n_fft, nf_pad, T, rows_pad, impl, interpret)
     out = pl.pallas_call(
         kernel,
         grid=(B, nT),
@@ -168,9 +212,9 @@ def _stft_fused_call(xp, Wh, Wm, Wl, *, n_fft, rows, n_out, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(Wh.shape, lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(Wh.shape, lambda b, j: (0, 0),
+            pl.BlockSpec(Wm.shape, lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(Wh.shape, lambda b, j: (0, 0),
+            pl.BlockSpec(Wl.shape, lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rows_pad, T), lambda b, j: (b, 0, j),
@@ -185,7 +229,14 @@ def _stft_fused_call(xp, Wh, Wm, Wl, *, n_fft, rows, n_out, interpret):
     return out[:, :rows, :n_out]
 
 
-def stft_dft_fused(xp, K_T_np, n_fft: int, n_out: int, interpret=None):
+@functools.lru_cache(maxsize=64)
+def _w_consts_cat(k_bytes, rows, n_fft):
+    """dot1 constant: _cat6_np of the bf16 splits (rows_pad, 6*nf_pad)."""
+    return _cat6_np(*_w_consts(k_bytes, rows, n_fft))
+
+
+def stft_dft_fused(xp, K_T_np, n_fft: int, n_out: int, interpret=None,
+                   impl=None):
     """Fused framing + windowed-DFT matmuls for hop=1.
 
     xp: (..., Mp) f32 padded signal; K_T_np: HOST (rows, n_fft) f32
@@ -195,9 +246,15 @@ def stft_dft_fused(xp, K_T_np, n_fft: int, n_out: int, interpret=None):
     """
     if interpret is None:
         interpret = interpret_mode()
+    if impl is None:
+        impl = stft_impl()
     rows = K_T_np.shape[0]
     k_bytes = K_T_np.astype(np.float32).tobytes()
-    Wh, Wm, Wl = _w_consts(k_bytes, rows, n_fft)
+    if impl == "dot1":
+        Wh = _w_consts_cat(k_bytes, rows, n_fft)
+        Wm = Wl = _DUMMY_W
+    else:
+        Wh, Wm, Wl = _w_consts(k_bytes, rows, n_fft)
     batch = xp.shape[:-1]
     Mp = xp.shape[-1]
     # contract required by the custom_vjp backward, which rebuilds the
@@ -209,7 +266,7 @@ def stft_dft_fused(xp, K_T_np, n_fft: int, n_out: int, interpret=None):
             f"(= {n_out + n_fft - 1}); got {Mp}")
     b = int(np.prod(batch)) if batch else 1
     out = _stft_fused_vjp(
-        (n_fft, rows, n_out, interpret, k_bytes),
+        (n_fft, rows, n_out, impl, interpret, k_bytes),
         xp.reshape(b, Mp), jnp.asarray(Wh), jnp.asarray(Wm),
         jnp.asarray(Wl))
     return out.reshape(batch + (rows, n_out))
@@ -218,9 +275,9 @@ def stft_dft_fused(xp, K_T_np, n_fft: int, n_out: int, interpret=None):
 # -- autodiff: the kernel is LINEAR in xp -------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _stft_fused_vjp(static, xp, Wh, Wm, Wl):
-    n_fft, rows, n_out, interpret, _ = static
+    n_fft, rows, n_out, impl, interpret, _ = static
     return _stft_fused_call(xp, Wh, Wm, Wl, n_fft=n_fft, rows=rows,
-                            n_out=n_out, interpret=interpret)
+                            n_out=n_out, impl=impl, interpret=interpret)
 
 
 def _stft_fused_fwd(static, xp, Wh, Wm, Wl):
@@ -235,7 +292,7 @@ def _stft_fused_bwd(static, res, g):
     g_frames[t, n - t] — preceded by the transposed DFT matmul.
     Scan-based OLA (ops/stft.overlap_add) and HIGHEST precision so TPU
     gradients keep f32 accuracy (DEFAULT dots are single-pass bf16)."""
-    n_fft, rows, n_out, _, k_bytes = static
+    n_fft, rows, n_out, impl, _, k_bytes = static
     wh_shape = (_pad8(rows), _pad128(n_fft))
     K_T = np.frombuffer(k_bytes, np.float32).reshape(rows, n_fft)
 
@@ -246,6 +303,10 @@ def _stft_fused_bwd(static, res, g):
     ones = jnp.ones((n_fft,), jnp.float32)
     gx = overlap_add(g_frames, ones, 1, n_fft, n_out + n_fft - 1,
                      win_exp=0)
+    if impl == "dot1":
+        zc = jnp.zeros((wh_shape[0], 6 * wh_shape[1]), jnp.bfloat16)
+        zd = jnp.zeros(_DUMMY_W.shape, jnp.float32)
+        return (gx, zc, zd, zd)
     z = jnp.zeros(wh_shape, jnp.bfloat16)
     return (gx, z, z, z)
 
@@ -260,7 +321,7 @@ def istft_fused_ok(n_fft: int) -> bool:
     return n_fft <= 1024 + 1
 
 
-def _make_istft_kernel(n_fft, T):
+def _make_istft_kernel(n_fft, T, impl="dot6", interp=False):
     off = T - n_fft + 1           # window start inside the 2-block view
     Wd = n_fft - 1 + T            # window width
     Wd_pad = _pad128(Wd)
@@ -296,9 +357,17 @@ def _make_istft_kernel(n_fft, T):
             v_ref[:] += sgn * d(wl[:], xh)
 
         # v = (w^e * irfft(+fftshift)) per column: Fr'@Sr - Fs'@Si
-        v_ref[:] = jnp.zeros_like(v_ref)
-        acc6(frh_ref, frm_ref, frl_ref, Xr, 1.0)
-        acc6(fsh_ref, fsm_ref, fsl_ref, Xi, -1.0)
+        if impl == "dot1":
+            # ONE stacked dot: [Fr6 | -Fs6] @ [Xr6; Xi6] (12x depth)
+            X12 = jnp.concatenate([_xcat6(Xr, 0, interp),
+                                   _xcat6(Xi, 0, interp)], axis=0)
+            w = frh_ref[:].astype(jnp.float32) if interp else frh_ref[:]
+            v_ref[:] = jnp.dot(w, X12,
+                               preferred_element_type=jnp.float32)
+        else:
+            v_ref[:] = jnp.zeros_like(v_ref)
+            acc6(frh_ref, frm_ref, frl_ref, Xr, 1.0)
+            acc6(fsh_ref, fsm_ref, fsl_ref, Xi, -1.0)
 
         # overlap-add: out[c] = sum_t v[t, delta + (n_fft - 1 - t) + c]
         # — n_fft STATIC shifted row slices (trace-time unrolled)
@@ -312,10 +381,10 @@ def _make_istft_kernel(n_fft, T):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "n_segs",
+@functools.partial(jax.jit, static_argnames=("n_fft", "n_segs", "impl",
                                              "interpret"))
 def _istft_fused_call(Sr, Si, Frh, Frm, Frl, Fsh, Fsm, Fsl, *, n_fft,
-                      n_segs, interpret):
+                      n_segs, impl, interpret):
     """Sr/Si: (B, n_freqs, n_segs) f32 planes; F*: (n_fft_pad,
     n_freqs_pad) bf16 splits of the w^e-scaled irfft matrices. Returns
     (B, n_segs + n_fft - 1) f32 overlap-added signal (pre-norm)."""
@@ -332,7 +401,7 @@ def _istft_fused_call(Sr, Si, Frh, Frm, Frl, Fsh, Fsm, Fsl, *, n_fft,
     Si = jnp.pad(Si, pads)
 
     n_fft_pad = _pad8(n_fft)
-    kernel = _make_istft_kernel(n_fft, T)
+    kernel = _make_istft_kernel(n_fft, T, impl, interpret)
     blkA = pl.BlockSpec((1, n_freqs_pad, T), lambda b, j: (b, 0, j),
                         memory_space=pltpu.VMEM)
     blkB = pl.BlockSpec((1, n_freqs_pad, T), lambda b, j: (b, 0, j + 1),
@@ -344,8 +413,8 @@ def _istft_fused_call(Sr, Si, Frh, Frm, Frl, Fsh, Fsm, Fsl, *, n_fft,
         kernel,
         grid=(B, nT),
         in_specs=[blkA, blkB, blkA, blkB,
-                  cspec(Frh), cspec(Frh), cspec(Frh),
-                  cspec(Fsh), cspec(Fsh), cspec(Fsh)],
+                  cspec(Frh), cspec(Frm), cspec(Frl),
+                  cspec(Fsh), cspec(Fsm), cspec(Fsl)],
         out_specs=pl.BlockSpec((1, 1, T), lambda b, j: (b, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1, nT * T), jnp.float32),
@@ -369,7 +438,16 @@ def _istft_consts(fr_bytes, fs_bytes, n_fft, n_freqs):
     return prep(fr_bytes), prep(fs_bytes)
 
 
-def istft_ola_fused(Sx, Fr_np, Fs_np, n_fft: int, interpret=None):
+@functools.lru_cache(maxsize=64)
+def _istft_consts_cat(fr_bytes, fs_bytes, n_fft, n_freqs):
+    """dot1 constant: [Fr6 | -Fs6] (n_fft_pad8, 12*n_freqs_pad8) — the
+    acc6 signs folded into the stacked operand."""
+    (FrS, FsS) = _istft_consts(fr_bytes, fs_bytes, n_fft, n_freqs)
+    return np.concatenate([_cat6_np(*FrS), -_cat6_np(*FsS)], axis=1)
+
+
+def istft_ola_fused(Sx, Fr_np, Fs_np, n_fft: int, interpret=None,
+                    impl=None):
     """Fused irfft-matmul + overlap-add for hop=1 (the OLA window never
     exists in HBM; see module docstring). Sx: (..., n_freqs, n_segs)
     complex64; Fr/Fs: HOST (n_fft, n_freqs) f32 matrices with the
@@ -378,17 +456,23 @@ def istft_ola_fused(Sx, Fr_np, Fs_np, n_fft: int, interpret=None):
     Linear in Sx (custom_vjp, transpose via the XLA path)."""
     if interpret is None:
         interpret = interpret_mode()
+    if impl is None:
+        impl = stft_impl()
     batch = Sx.shape[:-2]
     n_freqs, n_segs = Sx.shape[-2:]
     b = int(np.prod(batch)) if batch else 1
     Sr = Sx.real.astype(jnp.float32).reshape(b, n_freqs, n_segs)
     Si = Sx.imag.astype(jnp.float32).reshape(b, n_freqs, n_segs)
-    (Frh, Frm, Frl), (Fsh, Fsm, Fsl) = _istft_consts(
-        Fr_np.astype(np.float32).tobytes(),
-        Fs_np.astype(np.float32).tobytes(), n_fft, n_freqs)
+    fr_bytes = Fr_np.astype(np.float32).tobytes()
+    fs_bytes = Fs_np.astype(np.float32).tobytes()
+    if impl == "dot1":
+        Frh = _istft_consts_cat(fr_bytes, fs_bytes, n_fft, n_freqs)
+        Frm = Frl = Fsh = Fsm = Fsl = _DUMMY_W
+    else:
+        (Frh, Frm, Frl), (Fsh, Fsm, Fsl) = _istft_consts(
+            fr_bytes, fs_bytes, n_fft, n_freqs)
     out = _istft_fused_vjp(
-        (n_fft, n_segs, interpret, Fr_np.astype(np.float32).tobytes(),
-         Fs_np.astype(np.float32).tobytes()),
+        (n_fft, n_segs, impl, interpret, fr_bytes, fs_bytes),
         Sr, Si, jnp.asarray(Frh), jnp.asarray(Frm), jnp.asarray(Frl),
         jnp.asarray(Fsh), jnp.asarray(Fsm), jnp.asarray(Fsl))
     return out.reshape(batch + (n_segs + n_fft - 1,))
@@ -396,9 +480,9 @@ def istft_ola_fused(Sx, Fr_np, Fs_np, n_fft: int, interpret=None):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _istft_fused_vjp(static, Sr, Si, Frh, Frm, Frl, Fsh, Fsm, Fsl):
-    n_fft, n_segs, interpret, _, _ = static
+    n_fft, n_segs, impl, interpret, _, _ = static
     return _istft_fused_call(Sr, Si, Frh, Frm, Frl, Fsh, Fsm, Fsl,
-                             n_fft=n_fft, n_segs=n_segs,
+                             n_fft=n_fft, n_segs=n_segs, impl=impl,
                              interpret=interpret)
 
 
@@ -412,7 +496,7 @@ def _istft_fused_bwd(static, res, g):
     followed by the transposed irfft matmuls. Scan-based framing
     (frames_T_scan; an unrolled slice stack compiles for minutes) and
     HIGHEST precision so TPU gradients keep f32 accuracy."""
-    n_fft, n_segs, _, fr_bytes, fs_bytes = static
+    n_fft, n_segs, impl, _, fr_bytes, fs_bytes = static
     n_freqs = len(np.frombuffer(fr_bytes, np.float32)) // n_fft
     Fr = np.frombuffer(fr_bytes, np.float32).reshape(n_fft, n_freqs)
     Fs = np.frombuffer(fs_bytes, np.float32).reshape(n_fft, n_freqs)
@@ -424,6 +508,10 @@ def _istft_fused_bwd(static, res, g):
                      precision=hp, preferred_element_type=jnp.float32)
     gSi = -jnp.einsum("tk,btn->bkn", jnp.asarray(Fs), g_xbuf,
                       precision=hp, preferred_element_type=jnp.float32)
+    if impl == "dot1":
+        zc = jnp.zeros((_pad8(n_fft), 12 * _pad8(n_freqs)), jnp.bfloat16)
+        zd = jnp.zeros(_DUMMY_W.shape, jnp.float32)
+        return (gSr, gSi, zc, zd, zd, zd, zd, zd)
     zb = jnp.zeros((_pad8(n_fft), _pad8(n_freqs)), jnp.bfloat16)
     return (gSr, gSi, zb, zb, zb, zb, zb, zb)
 
@@ -433,7 +521,7 @@ _istft_fused_vjp.defvjp(_istft_fused_fwd, _istft_fused_bwd)
 
 # -- fully fused ssq_stft: frames + DFT + phase + bin + scatter ---------------
 def _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode, params, gamma,
-                          flipud, n_valid):
+                          flipud, n_valid, impl="dot6", interp=False):
     """One kernel = the whole ssq_stft hot path per time tile: Hankel
     frame build, the 4 stacked windowed-DFT matmuls (Sx, dSx planes),
     the phase transform + analytic linear binning, and the one-hot
@@ -447,7 +535,7 @@ def _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode, params, gamma,
                k_ref, vr_ref, vi_ref):
         j = pl.program_id(1)
         _frames_dft_into(s_ref, x_ref, j, y_ref, f_ref, wh_ref, wm_ref,
-                         wl_ref, n_fft, nf_pad, T)
+                         wl_ref, n_fft, nf_pad, T, impl, interp)
 
         S = s_ref[:]
         fsv = fs_ref[0, 0, 0]
@@ -485,9 +573,10 @@ def _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode, params, gamma,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_fft", "nf", "n_out", "mode", "plan", "gamma_f", "flipud",
-    "interpret"))
+    "impl", "interpret"))
 def _ssq_stft_fused_call(xp, fs, Wh, Wm, Wl, const_arr, Sfs, *, n_fft, nf,
-                         n_out, mode, plan, gamma_f, flipud, interpret):
+                         n_out, mode, plan, gamma_f, flipud, impl,
+                         interpret):
     """xp: (B, Mp) f32 padded signal. Returns (txr, txi, sxr, sxi) each
     (B, nf, n_out) f32. W consts are per-matrix padded to nf8 rows
     (4 * nf8 total, [Sr; Si; dSr; dSi] blocks)."""
@@ -502,9 +591,10 @@ def _ssq_stft_fused_call(xp, fs, Wh, Wm, Wl, const_arr, Sfs, *, n_fft, nf,
 
     kernel = _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode,
                                    dict(plan), gamma_f, flipud,
-                                   n_valid=n_out)
-    cspec = pl.BlockSpec(Wh.shape, lambda b, j: (0, 0),
-                         memory_space=pltpu.VMEM)
+                                   n_valid=n_out, impl=impl,
+                                   interp=interpret)
+    wspec = lambda W: pl.BlockSpec(W.shape, lambda b, j: (0, 0),
+                                   memory_space=pltpu.VMEM)
     colspec = pl.BlockSpec((nf8, 1), lambda b, j: (0, 0),
                            memory_space=pltpu.VMEM)
     out3 = pl.BlockSpec((1, nf8, T), lambda b, j: (b, 0, j),
@@ -517,7 +607,7 @@ def _ssq_stft_fused_call(xp, fs, Wh, Wm, Wl, const_arr, Sfs, *, n_fft, nf,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 128), lambda b, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            cspec, cspec, cspec, colspec, colspec,
+            wspec(Wh), wspec(Wm), wspec(Wl), colspec, colspec,
         ],
         out_specs=(out3, out3, out3, out3),
         out_shape=tuple(
@@ -569,14 +659,21 @@ def ssq_stft_fused_ok(n_fft: int, Mp: int) -> bool:
 
 
 # -- autodiff: backward delegates to the differentiable two-kernel route ------
+@functools.lru_cache(maxsize=32)
+def _ssq_w_consts_cat(k_bytes, n_freqs, n_fft):
+    """dot1 constant for the mega kernel (4*nf8, 6*nf_pad)."""
+    return _cat6_np(*_ssq_w_consts(k_bytes, n_freqs, n_fft))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _ssq_mega_vjp(static, xp, fs, Wh, Wm, Wl, const_arr, Sfs):
-    (n_fft, nf, n_out, mode, plan, gamma_f, flipud, interpret,
+    (n_fft, nf, n_out, mode, plan, gamma_f, flipud, impl, interpret,
      _k_bytes) = static
     return _ssq_stft_fused_call(xp, fs, Wh, Wm, Wl, const_arr, Sfs,
                                 n_fft=n_fft, nf=nf, n_out=n_out,
                                 mode=mode, plan=plan, gamma_f=gamma_f,
-                                flipud=flipud, interpret=interpret)
+                                flipud=flipud, impl=impl,
+                                interpret=interpret)
 
 
 def _ssq_mega_fwd(static, xp, fs, Wh, Wm, Wl, const_arr, Sfs):
@@ -588,7 +685,7 @@ def _ssq_mega_bwd(static, res, g):
     """Gradient via the two-kernel route (stft_dft_fused +
     reassign_pallas), whose custom VJPs define the piecewise-constant-bin
     semantics; same math, so cotangents match the fused forward."""
-    (n_fft, nf, n_out, mode, plan, gamma_f, flipud, interpret,
+    (n_fft, nf, n_out, mode, plan, gamma_f, flipud, impl, interpret,
      k_bytes) = static
     xp, fs, const_arr, Sfs = res
     K_T = np.frombuffer(k_bytes, np.float32).reshape(4 * nf, n_fft)
@@ -596,7 +693,7 @@ def _ssq_mega_bwd(static, res, g):
     def ref(xp, fs):
         from .reassign_pallas import reassign_pallas
         planes = stft_dft_fused(xp, K_T, n_fft, n_out,
-                                interpret=interpret)
+                                interpret=interpret, impl=impl)
         sxr, sxi = planes[:, :nf], planes[:, nf:2 * nf]
         dsr = planes[:, 2 * nf:3 * nf] * fs
         dsi = planes[:, 3 * nf:] * fs
@@ -607,6 +704,11 @@ def _ssq_mega_bwd(static, res, g):
 
     _, vjp = jax.vjp(ref, xp, fs)
     gxp, gfs = vjp(g)
+    if impl == "dot1":
+        zc = jnp.zeros((4 * _pad8(nf), 6 * _pad128(n_fft)), jnp.bfloat16)
+        zd = jnp.zeros(_DUMMY_W.shape, jnp.float32)
+        return (gxp, gfs, zc, zd, zd, jnp.zeros_like(const_arr),
+                jnp.zeros_like(Sfs))
     zW = jnp.zeros((4 * _pad8(nf), _pad128(n_fft)), jnp.bfloat16)
     return (gxp, gfs, zW, zW, zW, jnp.zeros_like(const_arr),
             jnp.zeros_like(Sfs))
@@ -617,7 +719,7 @@ _ssq_mega_vjp.defvjp(_ssq_mega_fwd, _ssq_mega_bwd)
 
 def ssq_stft_fused(xp, K_T_np, n_fft: int, n_out: int, fs, Sfs, const_arr,
                    gamma, plan_params, mode: str, flipud: bool,
-                   interpret=None):
+                   interpret=None, impl=None):
     """Whole-pipeline fused ssq_stft (hop=1): returns complex
     (Tx, Sx) of shape (..., n_freqs, n_out). `K_T_np`: HOST
     (4*n_freqs, n_fft) stacked [Sr; Si; dSr; dSi] DFT matrices
@@ -625,15 +727,21 @@ def ssq_stft_fused(xp, K_T_np, n_fft: int, n_out: int, fs, Sfs, const_arr,
     (custom_vjp; backward runs the two-kernel route)."""
     if interpret is None:
         interpret = interpret_mode()
+    if impl is None:
+        impl = stft_impl()
     n_freqs = K_T_np.shape[0] // 4
     k_bytes = K_T_np.astype(np.float32).tobytes()
-    Wh, Wm, Wl = _ssq_w_consts(k_bytes, n_freqs, n_fft)
+    if impl == "dot1":
+        Wh = _ssq_w_consts_cat(k_bytes, n_freqs, n_fft)
+        Wm = Wl = _DUMMY_W
+    else:
+        Wh, Wm, Wl = _ssq_w_consts(k_bytes, n_freqs, n_fft)
     plan = tuple(sorted((k, float(v)) for k, v in plan_params.items()))
     batch = xp.shape[:-1]
     b = int(np.prod(batch)) if batch else 1
     txr, txi, sxr, sxi = _ssq_mega_vjp(
         (n_fft, n_freqs, n_out, mode, plan, float(gamma), bool(flipud),
-         interpret, k_bytes),
+         impl, interpret, k_bytes),
         xp.reshape(b, xp.shape[-1]), jnp.asarray(fs, jnp.float32),
         jnp.asarray(Wh), jnp.asarray(Wm), jnp.asarray(Wl),
         jnp.asarray(const_arr, jnp.float32),

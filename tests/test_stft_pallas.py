@@ -183,3 +183,80 @@ def test_mega_fused_ssq_stft_grad(monkeypatch):
     rel = np.abs(g1 - g0).max() / np.abs(g0).max()
     # bin flips between routes move isolated gradient contributions
     assert rel < 5e-3, rel
+
+
+# -- stacked-contraction ("dot1") impl variants -------------------------------
+def test_stft_impl_dot1_matches_dot6():
+    """One stacked 6x-contraction dot == the 6-dot sum (same products,
+    MXU f32 accumulator vs sequential adds)."""
+    from ssqueeze_rs_tpu.ops.stft_pallas import stft_dft_fused
+
+    rng = np.random.default_rng(10)
+    n_fft, n_out = 128, 700
+    rows = 2 * (n_fft // 2 + 1)
+    K = rng.standard_normal((rows, n_fft)).astype(np.float32)
+    xp = jnp.asarray(rng.standard_normal((2, n_out + n_fft - 1)),
+                     jnp.float32)
+    a = np.asarray(stft_dft_fused(xp, K, n_fft, n_out, interpret=True,
+                                  impl="dot6"))
+    b = np.asarray(stft_dft_fused(xp, K, n_fft, n_out, interpret=True,
+                                  impl="dot1"))
+    rel = np.abs(a - b).max() / np.abs(a).max()
+    assert rel < 5e-6, rel
+
+    # backward (dot1 cotangent shapes differ: stacked const + dummies)
+    f = lambda impl: np.asarray(jax.grad(lambda x: jnp.sum(stft_dft_fused(
+        x, K, n_fft, n_out, interpret=True, impl=impl) ** 2))(xp[0]))
+    ga, gb = f("dot6"), f("dot1")
+    rel = np.abs(ga - gb).max() / np.abs(ga).max()
+    assert rel < 1e-5, rel
+
+
+def test_istft_impl_dot1_matches_dot6():
+    """[Fr6 | -Fs6] single 12x-contraction dot == the two acc6 passes."""
+    from ssqueeze_rs_tpu.ops.stft_pallas import istft_ola_fused
+
+    rng = np.random.default_rng(11)
+    n_fft, n_segs = 121, 900
+    nf = n_fft // 2 + 1
+    Fr = rng.standard_normal((n_fft, nf)).astype(np.float32)
+    Fs = rng.standard_normal((n_fft, nf)).astype(np.float32)
+    Sx = jnp.asarray(rng.standard_normal((nf, n_segs)) +
+                     1j * rng.standard_normal((nf, n_segs)), jnp.complex64)
+    a = np.asarray(istft_ola_fused(Sx, Fr, Fs, n_fft, interpret=True,
+                                   impl="dot6"))
+    b = np.asarray(istft_ola_fused(Sx, Fr, Fs, n_fft, interpret=True,
+                                   impl="dot1"))
+    rel = np.abs(a - b).max() / np.abs(a).max()
+    assert rel < 5e-6, rel
+
+
+def test_mega_ssq_stft_impl_dot1(monkeypatch):
+    """Whole-pipeline kernel under SSQ_TPU_STFT_IMPL=dot1 == dot6."""
+    from ssqueeze_rs_tpu import ssq_stft
+
+    rng = np.random.default_rng(12)
+    N = 2000
+    t = np.arange(N) / 1000.0
+    x = (np.cos(2 * np.pi * 80 * t) +
+         0.1 * rng.standard_normal(N)).astype(np.float32)
+
+    monkeypatch.setenv("SSQ_TPU_KERNELS", "1")
+
+    def run(impl):
+        monkeypatch.setenv("SSQ_TPU_STFT_IMPL", impl)
+        _clear()
+        Tx, Sx, *_ = ssq_stft(x, n_fft=256, fs=1000.0, dtype="float32")
+        return np.asarray(Tx), np.asarray(Sx)
+    T6, S6 = run("dot6")
+    T1, S1 = run("dot1")
+    monkeypatch.delenv("SSQ_TPU_STFT_IMPL")
+    monkeypatch.delenv("SSQ_TPU_KERNELS")
+    _clear()
+    rel = np.abs(S1 - S6).max() / np.abs(S6).max()
+    assert rel < 5e-6, rel
+    # Tx: ulp-level phase differences can flip isolated bins; compare
+    # the |.| column marginals like the two-kernel-path test does
+    col1 = np.abs(T1).sum(axis=0)
+    col6 = np.abs(T6).sum(axis=0)
+    assert np.abs(col1 - col6).max() / col6.max() < 1e-3
