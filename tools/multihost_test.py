@@ -39,10 +39,11 @@ def worker(pid: int, port: int) -> None:
 
     sys.path.insert(0, REPO)
     from jax.sharding import PartitionSpec as P
-    from ssqueeze_rs_tpu import stft, ssq_cwt
+    from ssqueeze_rs_tpu import stft, istft, ssq_cwt, issq_cwt
     from ssqueeze_rs_tpu.parallel import (make_host_chip_mesh,
                                           global_from_local, is_distributed,
-                                          chunked_stft, chunked_ssq_cwt)
+                                          chunked_stft, chunked_ssq_cwt,
+                                          chunked_istft, chunked_issq_cwt)
 
     assert is_distributed()
     # all 8 devices on 'time': halos cross the process boundary
@@ -72,6 +73,19 @@ def worker(pid: int, port: int) -> None:
         assert np.array_equal(got, want), \
             f"pid{pid}: STFT shard at col {c0} diverges"
 
+    # 1b. sharded istft ACROSS the process boundary: the frame-column
+    #     halo (lax.ppermute) crosses DCN here; shards bit-equal the
+    #     unsharded XLA istft (the chunked_istft exactness contract)
+    xr_g = chunked_istft(Sx, mesh, window="hann", n_fft=128, hop_len=4,
+                         N=N)
+    xr_ref = np.asarray(istft(ref, window="hann", n_fft=128, hop_len=4,
+                              N=N))
+    for shard in xr_g.addressable_shards:
+        c0 = shard.index[-1].start or 0
+        got = np.asarray(shard.data)
+        assert np.array_equal(got, xr_ref[..., c0:c0 + got.shape[-1]]), \
+            f"pid{pid}: istft shard at col {c0} diverges"
+
     # 2. hybrid exact chunked ssq_cwt: all_gather + all_to_all span the
     #    process boundary; interior columns match the full transform
     wav = ("gmw", {"beta": 8.0})
@@ -87,6 +101,21 @@ def worker(pid: int, port: int) -> None:
         want = Wr[..., c0:c0 + got.shape[-1]]
         rel = np.abs(got - want).max() / wmax
         assert rel < 1e-5, f"pid{pid}: CWT shard at col {c0} rel={rel:.2e}"
+
+    # 2b. sharded issq_cwt (column-local): shards bit-equal the
+    #     unsharded inverse of the SAME sharded Tx
+    Tx_full = np.zeros(Tx.shape, np.complex128)
+    for shard in Tx.addressable_shards:      # assemble this proc's view
+        c0 = shard.index[-1].start or 0
+        Tx_full[..., c0:c0 + shard.data.shape[-1]] = np.asarray(shard.data)
+    xs_g = chunked_issq_cwt(Tx, mesh, wavelet=wav)
+    for shard in xs_g.addressable_shards:
+        c0 = shard.index[-1].start or 0
+        got = np.asarray(shard.data)
+        want = np.asarray(issq_cwt(
+            Tx_full[..., c0:c0 + got.shape[-1]], wav))
+        assert np.array_equal(got, want), \
+            f"pid{pid}: issq_cwt shard at col {c0} diverges"
 
     print(f"worker {pid}: MULTIHOST OK "
           f"(procs={jax.process_count()}, devices={jax.device_count()})",
