@@ -54,6 +54,7 @@ def wavs():
     from .wavelets.base import _FAMILIES
     return list(_FAMILIES)
 from . import compat  # noqa: E402  (drop-in `_rs` API)
+from . import algos  # noqa: E402  (reference kernel-layer API, jnp oracle)
 
 __all__ = [
     "DEFAULTS", "EPS32", "EPS64", "pi", "mad_rms", "mad",
