@@ -133,3 +133,39 @@ def gamma_default(cdtype) -> float:
     import jax.numpy as jnp
 
     return 10 * (EPS64 if jnp.dtype(cdtype) == jnp.complex128 else EPS32)
+
+
+def gdefaults(module_and_obj=None, get_all=False, as_dict=None,
+              default_order=False, **kw):
+    """Fill None-valued kwargs from DEFAULTS (reference parity:
+    old/ssqueezepy/configs.py:27-124).
+
+    The reference introspects the CALLER to key a two-level
+    GDEFAULTS[module][obj] table from configs.ini; here DEFAULTS is a
+    flat section dict (one section per wavelet family / subsystem), so
+    `module_and_obj`'s last dotted component selects the section (e.g.
+    'wavelets.gmw' or just 'gmw'). With `get_all=True` every section
+    default is included (without overwriting explicit kwargs). Returns
+    a dict when `as_dict` (default for get_all), else the filled values
+    (tuple, or scalar when single).
+    """
+    if as_dict is None:
+        as_dict = bool(get_all)
+    section = {}
+    if module_and_obj is not None:
+        section = DEFAULTS.get(str(module_and_obj).split(".")[-1], {})
+        if not section:
+            from .utils.common import WARN
+            WARN(f"'{module_and_obj}' not found in DEFAULTS "
+                 "(see config.DEFAULTS / load_config_ini)")
+    out = dict(kw)
+    for k, v in section.items():
+        if get_all:
+            if out.get(k) is None:
+                out[k] = v
+        elif k in out and out[k] is None:
+            out[k] = v
+    if as_dict:
+        return out
+    vals = tuple(out.values())
+    return vals[0] if len(vals) == 1 else vals

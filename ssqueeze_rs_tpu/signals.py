@@ -318,3 +318,83 @@ class TestSignals:
                                                 aparams))
             for o in (Tf if isinstance(Tf, (tuple, list)) else [Tf]):
                 visuals.imshow(np.asarray(o), **pkw)
+
+    # -- prebuilt comparison methods (reference: _test_signals.py:785-981) ----
+    def wavcomp(self, wavelets, signals="all", N=None, w=1.2, h=None,
+                tight_kw=None):
+        """Plot |CWT| and |SSQ_CWT| of each signal for several wavelets
+        side by side (reference: _test_signals.py:785-833)."""
+        from .ops.ssq_cwt import ssq_cwt
+        from .wavelets.base import Wavelet
+        if not isinstance(wavelets, (list, tuple)):
+            wavelets = [wavelets]
+        wavs = [Wavelet.build(wv) for wv in wavelets]
+
+        def fn(x, t, params):
+            outs = []
+            for wv in wavs:
+                Tx, Wx, *_ = ssq_cwt(x, wv, t=t)
+                outs += [np.abs(np.asarray(Wx)), np.abs(np.asarray(Tx))]
+            return outs, {}
+
+        self.test_transforms(fn, signals=signals, N=N)
+
+    def cwt_vs_stft(self, wavelet, window, signals="all", N=None,
+                    win_len=None, n_fft=None, window_name=None,
+                    config_str="", w=1.2, h=0.9, tight_kw=None):
+        """Plot |CWT| / |SSQ_CWT| and |STFT| / |SSQ_STFT| of each signal
+        (reference: _test_signals.py:835-891)."""
+        from .ops.ssq_cwt import ssq_cwt
+        from .ops.ssq_stft import ssq_stft
+
+        def fn(x, t, params):
+            Txc, Wx, *_ = ssq_cwt(x, wavelet, t=t)
+            Txs, Sx, *_ = ssq_stft(x, window=window, win_len=win_len,
+                                   n_fft=n_fft, t=t)
+            return ([np.abs(np.asarray(a)) for a in (Wx, Txc, Sx, Txs)],
+                    {})
+
+        self.test_transforms(fn, signals=signals, N=N)
+
+    def ridgecomp(self, signals="all", N=None, penalty=20, n_ridges=2,
+                  bw=None, transform="cwt", w=1.2, h=0.4, **transform_kw):
+        """Plot extracted ridges superimposed on the transform and its
+        synchrosqueezing (reference: _test_signals.py:924-981)."""
+        from . import visuals
+        from .ops.ssq_cwt import ssq_cwt
+        from .ops.ssq_stft import ssq_stft
+        from .ridge import extract_ridges
+
+        if bw is None:
+            tf_bw, ssq_bw = 10, 2
+        elif isinstance(bw, tuple):
+            tf_bw, ssq_bw = bw
+        else:
+            tf_bw = ssq_bw = bw
+
+        data = self.make_signals(signals, N, get_params=True)
+        tfn = ssq_cwt if transform == "cwt" else ssq_stft
+        for name, (x, t, (fparams, aparams)) in data.items():
+            Tfs, Tf, ssq_freqs, scales, *_ = tfn(x, t=t, **transform_kw)
+            rkw = dict(penalty=penalty, n_ridges=n_ridges,
+                       transform=transform)
+            ridges = np.asarray(extract_ridges(Tf, scales, bw=tf_bw,
+                                               **rkw))
+            ssq_ridges = np.asarray(extract_ridges(Tfs, ssq_freqs,
+                                                   bw=ssq_bw, **rkw))
+            Tf, Tfs = np.asarray(Tf), np.asarray(Tfs)
+            if transform == "cwt":       # display convention: low freq down
+                Tf = np.flipud(Tf)
+                ridges = len(Tf) - ridges
+            base = self._title(name, len(x), fparams, aparams)
+            sub = (f" ridges | penalty={penalty}, n_ridges={n_ridges}, "
+                   f"bw=({tf_bw},{ssq_bw})")
+            for A, R, ttl in [(Tf, ridges, f"abs({transform.upper()})"),
+                              (Tfs, ssq_ridges,
+                               f"abs(SSQ_{transform.upper()})")]:
+                import matplotlib.pyplot as plt
+                visuals.imshow(np.abs(A), abs=True, show=False,
+                               title=base + "\n" + ttl + sub)
+                for r in range(R.shape[-1]):
+                    plt.plot(np.arange(R.shape[0]), R[:, r], "k--", lw=1)
+                plt.show()

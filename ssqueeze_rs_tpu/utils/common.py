@@ -108,3 +108,26 @@ def replace_under_abs(x, ref=None, value=0., replacement=0., parallel=None):
     xp = _xp_of(x)
     ref = x if ref is None else ref
     return xp.where(xp.abs(ref) < value, replacement, x)
+
+
+def find_closest_parallel_is_faster(shape, dtype="float32", trials=7,
+                                    verbose=1):
+    """Reference CPU-tuning helper (common.py:279-296): times
+    find_closest(parallel=True) vs False. This framework has no
+    parallel toggle — XLA owns parallelization — so the brute search is
+    timed once for information and False is returned (there is no
+    faster 'parallel' variant to pick).
+    """
+    from timeit import timeit
+
+    import numpy as np
+
+    from .closest import find_closest
+
+    a = np.abs(np.random.randn(*shape).astype(dtype))
+    v = np.random.uniform(0, len(a), len(a)).astype(dtype)
+    t = timeit(lambda: find_closest(a, v), number=int(trials))
+    if verbose:
+        NOTE(f"find_closest: {t / trials:.3g} s/call on {shape} {dtype}; "
+             "no parallel toggle exists (XLA-parallel), returning False")
+    return False

@@ -67,3 +67,41 @@ def aifftshift(xh, xp=np):
     """Inverse of `afftshift` (reference parity: wavelets.py:951-963)."""
     xh = xp.asarray(xh)
     return xh[..., aifftshift_idx(xh.shape[-1])]
+
+
+# -- FFT entry points (reference fft_utils.py API parity) ---------------------
+# The reference routes every transform through a global backend object
+# (scipy / pyfftw-with-wisdom / torch, old/ssqueezepy/utils/
+# fft_utils.py:26-133). Here there is ONE backend — XLA — so these are
+# jnp.fft delegations under the reference's names; plan persistence is
+# config.enable_persistent_cache (the wisdom analog). Kept thin so
+# reference code importing `from ssqueezepy.utils import fft, ifft, ...`
+# ports by renaming the package.
+def fft(x, axis=-1, **kw):
+    import jax.numpy as jnp
+    return jnp.fft.fft(jnp.asarray(x), axis=axis)
+
+
+def rfft(x, axis=-1, **kw):
+    import jax.numpy as jnp
+    return jnp.fft.rfft(jnp.asarray(x), axis=axis)
+
+
+def ifft(x, axis=-1, **kw):
+    import jax.numpy as jnp
+    return jnp.fft.ifft(jnp.asarray(x), axis=axis)
+
+
+def irfft(x, n=None, axis=-1, **kw):
+    import jax.numpy as jnp
+    return jnp.fft.irfft(jnp.asarray(x), n=n, axis=axis)
+
+
+def fftshift(x, axes=None):
+    import jax.numpy as jnp
+    return jnp.fft.fftshift(jnp.asarray(x), axes=axes)
+
+
+def ifftshift(x, axes=None):
+    import jax.numpy as jnp
+    return jnp.fft.ifftshift(jnp.asarray(x), axes=axes)

@@ -129,3 +129,60 @@ def test_zero_denormals():
     import jax.numpy as jnp
     out_j = np.asarray(algos.zero_denormals(jnp.asarray(x)))
     assert np.array_equal(out_j, ref)
+
+
+# -- surrounding API-parity fills (audit r3) ----------------------------------
+def test_psifn_matches_reference():
+    """Wavelet.psifn == reference time-domain sampling (spectral
+    reversal + ifft)."""
+    from ssqueezepy.wavelets import Wavelet as RefWavelet
+    from ssqueeze_rs_tpu import Wavelet
+
+    for spec in [("gmw", {"beta": 12.0}), ("morlet", {"mu": 6.0})]:
+        ref = RefWavelet(spec, dtype="float64").psifn(scale=10.0, N=256)
+        ours = Wavelet.build(spec).psifn(scale=10.0, N=256)
+        assert np.allclose(ours, ref, atol=1e-12), spec
+
+
+def test_fft_name_parity():
+    from ssqueeze_rs_tpu.utils import fft as F
+
+    x = np.random.default_rng(0).standard_normal(64)
+    assert np.allclose(np.asarray(F.fft(x)), np.fft.fft(x), atol=1e-6)
+    assert np.allclose(np.asarray(F.rfft(x)), np.fft.rfft(x), atol=1e-6)
+    assert np.allclose(np.asarray(F.ifft(F.fft(x))).real, x, atol=1e-6)
+    assert np.allclose(np.asarray(F.irfft(F.rfft(x), n=64)), x, atol=1e-6)
+    assert np.allclose(np.asarray(F.fftshift(x)), np.fft.fftshift(x))
+    assert np.allclose(np.asarray(F.ifftshift(x)), np.fft.ifftshift(x))
+
+
+def test_gdefaults():
+    from ssqueeze_rs_tpu.config import gdefaults
+
+    # fills None from the section, keeps explicit values
+    out = gdefaults("wavelets.gmw", gamma=None, beta=5.0, as_dict=True)
+    assert out["gamma"] == 3.0 and out["beta"] == 5.0
+    # get_all pulls every section default
+    out = gdefaults("gmw", get_all=True)
+    assert out["norm"] == "bandpass" and out["order"] == 0
+    # scalar return for a single kwarg
+    assert gdefaults("morlet", mu=None) == 13.4
+
+
+def test_find_closest_parallel_is_faster_smoke():
+    from ssqueeze_rs_tpu.utils.common import find_closest_parallel_is_faster
+
+    assert find_closest_parallel_is_faster((8, 16), trials=1,
+                                           verbose=0) is False
+
+
+def test_signal_comparison_methods_render():
+    """wavcomp / cwt_vs_stft / ridgecomp render on Agg (smoke)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from ssqueeze_rs_tpu import TestSignals
+
+    ts = TestSignals(N=256)
+    ts.wavcomp("gmw", signals=["lchirp"], N=256)
+    ts.cwt_vs_stft("gmw", "hann", signals=["echirp"], N=256, n_fft=64)
+    ts.ridgecomp(signals=["lchirp"], N=256, n_ridges=1)
