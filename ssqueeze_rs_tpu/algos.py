@@ -49,10 +49,11 @@ __all__ = [
 
 
 def nCk(n, k):
-    """n-Choose-k (reference: algos.py:13-19; float result)."""
+    """n-Choose-k (reference: algos.py:13-19; float result — including
+    its empty-reduce convention nCk(n, k>n) == 1.0)."""
     r = min(int(k), int(n) - int(k))
     if r < 0:
-        return 0.0
+        return 1.0      # both reference reduce() products are empty
     return float(math.comb(int(n), r))
 
 
@@ -74,13 +75,15 @@ def indexed_sum_onfly(Wx, w, ssq_freqs, const=1, logscale=False,
     """`indexed_sum` + analytic `find_closest` in one pass (reference:
     algos.py:153-250): Tx[k(w[i,j]), j] += Wx[i,j] * const[i], entries
     with inf `w` skipped. `k` uses the closed-form log /
-    log-piecewise / linear bin maps."""
+    log-piecewise / linear bin maps. The output has Wx.shape rows and
+    the bin clamp is len(Wx)-1 — the reference sizes `out` by Wx, not
+    by ssq_freqs (_process_ssq_params, algos.py:51-58,111)."""
     Wx = jnp.asarray(Wx)
-    nf = len(np.asarray(ssq_freqs).squeeze())
     mode, params = bin_params(ssq_freqs, bool(logscale))
     return reassign(Wx, jnp.asarray(w), jnp.asarray(_const_arr(
         const, Wx.shape[-2])), 0.0, None, dict(params), mode=mode,
-        flipud=bool(flipud), fused=False, transform="cwt", nf=nf)
+        flipud=bool(flipud), fused=False, transform="cwt",
+        nf=Wx.shape[-2])
 
 
 def ssqueeze_fast(Wx, dWx, ssq_freqs, const, logscale=False, flipud=False,
@@ -94,14 +97,15 @@ def ssqueeze_fast(Wx, dWx, ssq_freqs, const, logscale=False, flipud=False,
     Wx = jnp.asarray(Wx)
     if gamma is None:
         gamma = 10 * (EPS64 if Wx.dtype == jnp.complex128 else EPS32)
-    nf = len(np.asarray(ssq_freqs).squeeze())
     mode, params = bin_params(ssq_freqs, bool(logscale))
     transform = "cwt" if Sfs is None else "stft"
     Sfs_j = None if Sfs is None else jnp.asarray(Sfs)
+    # output rows / bin clamp sized by Wx, like the reference's
+    # _process_ssq_params (algos.py:51-58,111)
     return reassign(Wx, jnp.asarray(dWx), jnp.asarray(_const_arr(
         const, Wx.shape[-2])), float(gamma), Sfs_j, dict(params),
         mode=mode, flipud=bool(flipud), fused=True, transform=transform,
-        nf=nf)
+        nf=Wx.shape[-2])
 
 
 def phase_cwt_cpu(Wx, dWx, gamma, parallel=None):

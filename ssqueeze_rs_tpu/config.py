@@ -154,7 +154,10 @@ def gdefaults(module_and_obj=None, get_all=False, as_dict=None,
     section = {}
     if module_and_obj is not None:
         section = DEFAULTS.get(str(module_and_obj).split(".")[-1], {})
-        if not section:
+        if not isinstance(section, dict) or not section:
+            # missing, or a scalar DEFAULTS entry like 'dtype'
+            if not isinstance(section, dict):
+                section = {}
             from .utils.common import WARN
             WARN(f"'{module_and_obj}' not found in DEFAULTS "
                  "(see config.DEFAULTS / load_config_ini)")

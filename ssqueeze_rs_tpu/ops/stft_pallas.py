@@ -67,7 +67,10 @@ def _tile() -> int:
 
 def stft_fused_ok(n_fft: int, Mp: int, kmats: int) -> bool:
     """VMEM feasibility: signal row + W consts + F scratch + outputs.
-    Uses the SAME tile the kernel will use (env knob included)."""
+    Uses the SAME tile the kernel will use (env knob included), and
+    charges the LARGER of the dot6/dot1 working sets (dot1's 6x-stacked
+    W cat equals dot6's three splits in bytes, but its in-kernel
+    _xcat6 concat adds a (6*nf_pad, T) bf16 operand — review r3)."""
     T = _tile()
     nf_pad = _pad128(n_fft)
     rows = _pad8(kmats * (n_fft // 2 + 1))
@@ -75,6 +78,7 @@ def stft_fused_ok(n_fft: int, Mp: int, kmats: int) -> bool:
             + 3 * rows * nf_pad * 2 * 2    # W hi/mid/lo bf16 (const)
             + (T + nf_pad) * 4 * 2         # y window
             + nf_pad * T * 4 * 3           # F f32 + bf16 splits
+            + 6 * nf_pad * T * 2           # dot1: _xcat6 concat operand
             + 3 * rows * T * 4             # live dot products
             + 2 * rows * T * 4 * 2)        # output block, 2x-buffered
     return vmem < 100 * 1024 * 1024
@@ -317,7 +321,10 @@ _stft_fused_vjp.defvjp(_stft_fused_fwd, _stft_fused_bwd)
 # -- fused istft: irfft matmul + overlap-add in VMEM (hop=1) ------------------
 def istft_fused_ok(n_fft: int) -> bool:
     """Gate: the OLA window (T + n_fft - 1 columns) must fit in two
-    adjacent 1024-column blocks."""
+    adjacent 1024-column blocks. VMEM at the cap (n_fft=1025), worst
+    case impl=dot1: Fcat ~12.8 MB + X12 concat ~25.6 MB + v scratch
+    ~8.5 MB + 4 column blocks ~8.5 MB ~= 55 MB — inside the 110 MB
+    limit for BOTH impls, so no impl-dependent gate is needed."""
     return n_fft <= 1024 + 1
 
 

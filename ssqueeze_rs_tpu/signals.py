@@ -323,19 +323,23 @@ class TestSignals:
     def wavcomp(self, wavelets, signals="all", N=None, w=1.2, h=None,
                 tight_kw=None):
         """Plot |CWT| and |SSQ_CWT| of each signal for several wavelets
-        side by side (reference: _test_signals.py:785-833)."""
+        side by side (reference: _test_signals.py:785-833). `w`/`h`
+        scale the panels (visuals.imshow w/h kwargs); `tight_kw` is
+        accepted for reference-signature parity (panels here are
+        single-axes figures, nothing to subplots_adjust)."""
         from .ops.ssq_cwt import ssq_cwt
         from .wavelets.base import Wavelet
         if not isinstance(wavelets, (list, tuple)):
             wavelets = [wavelets]
         wavs = [Wavelet.build(wv) for wv in wavelets]
+        h = h or 0.45 * len(wavs)
 
         def fn(x, t, params):
             outs = []
             for wv in wavs:
                 Tx, Wx, *_ = ssq_cwt(x, wv, t=t)
                 outs += [np.abs(np.asarray(Wx)), np.abs(np.asarray(Tx))]
-            return outs, {}
+            return outs, dict(w=w, h=h)
 
         self.test_transforms(fn, signals=signals, N=N)
 
@@ -343,18 +347,27 @@ class TestSignals:
                     win_len=None, n_fft=None, window_name=None,
                     config_str="", w=1.2, h=0.9, tight_kw=None):
         """Plot |CWT| / |SSQ_CWT| and |STFT| / |SSQ_STFT| of each signal
-        (reference: _test_signals.py:835-891)."""
+        (reference: _test_signals.py:835-891). `window_name`/`config_str`
+        label the STFT panels; `w`/`h` scale the panels; `tight_kw` is
+        accepted for reference-signature parity (panels here are
+        separate single-axes figures)."""
+        from . import visuals
         from .ops.ssq_cwt import ssq_cwt
         from .ops.ssq_stft import ssq_stft
 
-        def fn(x, t, params):
+        data = self.make_signals(signals, N, get_params=True)
+        for name, (x, t, (fparams, aparams)) in data.items():
             Txc, Wx, *_ = ssq_cwt(x, wavelet, t=t)
             Txs, Sx, *_ = ssq_stft(x, window=window, win_len=win_len,
                                    n_fft=n_fft, t=t)
-            return ([np.abs(np.asarray(a)) for a in (Wx, Txc, Sx, Txs)],
-                    {})
-
-        self.test_transforms(fn, signals=signals, N=N)
+            base = self._title(name, len(x), fparams, aparams)
+            twin = "{} window | win_len={}, n_fft={} {}".format(
+                window_name or "", win_len, n_fft, config_str).strip()
+            for A, ttl in [(Wx, "abs(CWT)"), (Txc, "abs(SSQ_CWT)"),
+                           (Sx, f"abs(STFT) | {twin}"),
+                           (Txs, "abs(SSQ_STFT)")]:
+                visuals.imshow(np.abs(np.asarray(A)), abs=True, show=True,
+                               w=w, h=h, title=base + "\n" + ttl)
 
     def ridgecomp(self, signals="all", N=None, penalty=20, n_ridges=2,
                   bw=None, transform="cwt", w=1.2, h=0.4, **transform_kw):
@@ -393,7 +406,7 @@ class TestSignals:
                               (Tfs, ssq_ridges,
                                f"abs(SSQ_{transform.upper()})")]:
                 import matplotlib.pyplot as plt
-                visuals.imshow(np.abs(A), abs=True, show=False,
+                visuals.imshow(np.abs(A), abs=True, show=False, w=w, h=h,
                                title=base + "\n" + ttl + sub)
                 for r in range(R.shape[-1]):
                     plt.plot(np.arange(R.shape[0]), R[:, r], "k--", lw=1)

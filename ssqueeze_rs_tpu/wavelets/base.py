@@ -128,13 +128,10 @@ class Wavelet:
         return self.psih(np.asarray(w, dtype=np.float64), np)
 
     def psifn(self, scale=1.0, N=1024):
-        """Time-domain wavelet via spectral reversal: ifft(psih * (-1)^k)
-        centers the wavelet (reference parity: wavelets.py:97-109).
-        Returns a complex numpy array of length N (host-side)."""
-        psih = np.asarray(self.sample(np.array([float(scale)]),
-                                      int(N), xp=np))[0]
-        pn = (-1.0) ** np.arange(int(N))
-        return np.fft.ifft(psih * pn)
+        """Time-domain wavelet (reference name parity: wavelets.py:97-109);
+        alias of psi_time. Returns a complex numpy array of length N."""
+        out = np.asarray(self.psi_time(float(scale), int(N), xp=np))
+        return out[0] if out.ndim == 2 else out
 
     def sample(self, scales, N: int, xp=np, nohalf: bool = False,
                half: bool = False):

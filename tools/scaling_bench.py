@@ -63,13 +63,26 @@ def _bench_one(mesh, transform: str, N: int, axis="time"):
     """Best-of-K wall seconds for one sharded transform at global N."""
     import jax
     import jax.numpy as jnp
-    from ssqueeze_rs_tpu.parallel import chunked_stft, chunked_ssq_cwt
+    from ssqueeze_rs_tpu.parallel import (chunked_stft, chunked_ssq_cwt,
+                                          chunked_istft)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    if transform == "istft":
+        # inverse leg of the round trip: shard the forward ONCE at
+        # setup, time the frame-halo OLA inverse
+        Sx = chunked_stft(x, mesh, n_fft=256, hop_len=HOP,
+                          dtype="float32")
+        Sx = jax.block_until_ready(Sx)
 
-    def run(i):
-        xx = x + i * 1e-12
+    # big arrays as jit ARGUMENTS, never closure constants (CLAUDE.md:
+    # closure-captured device arrays re-fetch for constant embedding)
+    def run(big, i):
+        if transform == "istft":
+            out = chunked_istft(big * (1.0 + i * 1e-12), mesh, n_fft=256,
+                                hop_len=HOP, N=N)
+            return jnp.sum(jnp.abs(out))
+        xx = big + i * 1e-12
         if transform == "stft":
             out = chunked_stft(xx, mesh, n_fft=256, hop_len=HOP,
                                dtype="float32")
@@ -78,12 +91,13 @@ def _bench_one(mesh, transform: str, N: int, axis="time"):
                               dtype="float32")[0]
         return jnp.sum(jnp.abs(out))
 
+    big = Sx if transform == "istft" else x
     jitted = jax.jit(run)
-    float(jitted(0))                    # compile
+    float(jitted(big, 0))               # compile
     best = float("inf")
     for i in range(K):
         t0 = time.perf_counter()
-        float(jitted(i + 1))
+        float(jitted(big, i + 1))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -204,7 +218,7 @@ def main():
         _setup_cpu(max(args.devices))
 
     import jax
-    rows = single_process(args.devices, ("stft", "ssq_cwt"))
+    rows = single_process(args.devices, ("stft", "istft", "ssq_cwt"))
     mp_rows = []
     for np_ in args.procs:
         r = multi_process(np_)
