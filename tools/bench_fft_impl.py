@@ -48,33 +48,39 @@ def main():
     Pw, xr, xi, xig, nyq = jax.block_until_ready(gen(jax.random.PRNGKey(0)))
     zeros = jnp.zeros_like(nyq)
 
-    def make(impl):
+    def make(impl, deriv):
         @jax.jit
         def f(Pw, xr, xi, xig, i):
             Pw = Pw + jnp.asarray(i, jnp.float32) * 0
             o = cwt_halfband_fused(Pw, xr, xi, xig, 2.0, (nyq, zeros),
                                    (zeros, nyq), keep=KEEP,
-                                   derivative=True, interpret=False,
+                                   derivative=deriv, interpret=False,
                                    tiles=1, impl=impl)
             return sum(jnp.sum(jnp.abs(p)) for p in o)
         return f
 
     sums = {}
-    for impl in ("dot3", "dot1", "merged", "tmerged"):
-        try:
-            f = make(impl)
-            out = f(Pw, xr, xi, xig, 0)
-            sums[impl] = float(out)          # compile + correctness probe
-            best = float("inf")
-            for r in range(3):
-                t0 = time.perf_counter()
-                outs = [f(Pw, xr, xi, xig, r * K + i + 1) for i in range(K)]
-                _ = float(outs[-1])
-                best = min(best, (time.perf_counter() - t0) / K)
-            print(f"{impl:8s} {best*1e3:8.3f} ms", flush=True)
-        except Exception as e:
-            print(f"{impl:8s} FAILED: {type(e).__name__}: {str(e)[:300]}",
-                  flush=True)
+    # derivative=True = the ssq_cwt production shape; derivative=False
+    # informs whether standalone cwt should switch off the c64 einsum
+    for deriv in (True, False):
+        for impl in ("dot3", "dot1", "merged", "tmerged"):
+            tag = f"{'wd' if deriv else 'w '}:{impl}"
+            try:
+                f = make(impl, deriv)
+                out = f(Pw, xr, xi, xig, 0)
+                if deriv:
+                    sums[impl] = float(out)  # compile + correctness probe
+                best = float("inf")
+                for r in range(3):
+                    t0 = time.perf_counter()
+                    outs = [f(Pw, xr, xi, xig, r * K + i + 1)
+                            for i in range(K)]
+                    _ = float(outs[-1])
+                    best = min(best, (time.perf_counter() - t0) / K)
+                print(f"{tag:12s} {best*1e3:8.3f} ms", flush=True)
+            except Exception as e:
+                print(f"{tag:12s} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
 
     if len(sums) > 1:
         ref = sums.get("dot3")
