@@ -22,7 +22,8 @@ import numpy as np
 from ..utils.common import assert_is_one_of
 from ..utils.pad import p2up
 
-__all__ = ["process_recording"]
+__all__ = ["process_recording", "process_stft", "process_cwt",
+           "process_ssq_cwt", "process_ssq_stft"]
 
 
 def _chunk_iter_array(x, chunk_len, halo):
@@ -239,3 +240,75 @@ def process_recording(source, transform="ssq_cwt", fs=1.0, n_channels=None,
         return np.sum(np.stack(outs), axis=0), meta
     result = np.concatenate(outs, axis=-1)
     return result, meta
+
+
+# -- reference orchestration name parity ---------------------------------------
+# The reference packages its out-of-core story as dask scripts named
+# process_stft / process_cwt / process_ssq_cwt / process_ssq_stft
+# (tests/stft_test.py:163-269, cwt_test.py:69-196, ssq_cwt_test.py:66-196,
+# stft_ssq_test.py:274-281): data is (n_samples, n_channels), chunked
+# along time with a reflect halo, each chunk transformed per channel and
+# stacked to (freq, time, channel). These wrappers provide the same
+# entry points over process_recording (channels batched in ONE tensor
+# program instead of a Python loop; identical halo semantics).
+def _channels_first(data):
+    data = np.asarray(data)
+    if data.ndim == 1:
+        data = data[:, None]
+    return np.ascontiguousarray(data.T)
+
+
+def _freq_time_chan(res):
+    return np.transpose(res, (1, 2, 0))
+
+
+def process_stft(data, fs=None, n_fft=1024, hop_length=256,
+                 window_name="hann", chunk_len=1_000_000, **kw):
+    """(n_samples, n_channels) -> (n_freqs, n_frames, n_channels) complex
+    (reference: tests/stft_test.py:163-260; chunk size + halo = the dask
+    scripts' map_overlap(depth={-2: n_fft}))."""
+    res, _ = process_recording(_channels_first(data), transform="stft",
+                               fs=float(fs or 1.0), n_fft=n_fft,
+                               hop_len=hop_length, window=window_name,
+                               chunk_len=chunk_len, **kw)
+    return _freq_time_chan(res)
+
+
+def process_cwt(data, fs=None, wavelet="gmw", scales=None, nv=32,
+                derivative=False, padtype="reflect", chunk_len=100_000,
+                **kw):
+    """(n_samples, n_channels) -> (n_scales, n_samples, n_channels)
+    complex Wx (reference: tests/cwt_test.py:69-196). `derivative` is
+    accepted for signature parity; the stacked output is Wx either way
+    (matching the reference's chunk stacking)."""
+    res, _ = process_recording(_channels_first(data), transform="cwt",
+                               fs=float(fs or 1.0), wavelet=wavelet,
+                               scales=(scales if scales is not None
+                                       else "log-piecewise"), nv=nv,
+                               chunk_len=chunk_len, padtype=padtype, **kw)
+    return _freq_time_chan(res)
+
+
+def process_ssq_cwt(data, fs=None, wavelet="gmw", scales=None, nv=32,
+                    padtype="reflect", squeezing="sum", maprange="peak",
+                    chunk_len=100_000, **kw):
+    """(n_samples, n_channels) -> ((n_freqs, n_samples, n_channels)
+    complex Tx, ssq_freqs) (reference: tests/ssq_cwt_test.py:66-196)."""
+    res, meta = process_recording(
+        _channels_first(data), transform="ssq_cwt", fs=float(fs or 1.0),
+        wavelet=wavelet, scales=(scales if scales is not None
+                                 else "log-piecewise"), nv=nv,
+        chunk_len=chunk_len, padtype=padtype, squeezing=squeezing,
+        maprange=maprange, **kw)
+    return _freq_time_chan(res), meta.get("ssq_freqs")
+
+
+def process_ssq_stft(data, fs=None, n_fft=1024, hop_length=1,
+                     window_name="hann", chunk_len=1_000_000, **kw):
+    """(n_samples, n_channels) -> ((n_freqs, n_frames, n_channels)
+    complex Tx, ssq_freqs) (reference: tests/stft_ssq_test.py:274-281)."""
+    res, meta = process_recording(
+        _channels_first(data), transform="ssq_stft", fs=float(fs or 1.0),
+        n_fft=n_fft, hop_len=hop_length, window=window_name,
+        chunk_len=chunk_len, **kw)
+    return _freq_time_chan(res), meta.get("ssq_freqs")
