@@ -105,6 +105,45 @@ class Wavelet:
     def config(self) -> dict:
         return dict(self.params)
 
+    @property
+    def config_str(self) -> str:
+        """`config` formatted like the reference (wavelets.py:191-210):
+        drops norm/centered_scale/dtype and a base wavelet's order=0,
+        int-ifies whole floats."""
+        cfg = ""
+        for k, v in self.config.items():
+            if k in ("norm", "centered_scale", "dtype"):
+                continue
+            if k == "order" and v == 0:
+                continue
+            if isinstance(v, float) and v.is_integer():
+                v = int(v)
+            cfg += f"{k}={v}, "
+        return cfg.rstrip(", ") or "Default configs"
+
+    # -- default-length state (reference wavelets.py:161-177) -----------------
+    # `N`, `xi`, `wc` and the `Psih` cache are per-instance CONVENIENCE state,
+    # deliberately excluded from the dataclass fields: two Wavelets with equal
+    # (name, params) stay == and hash-equal regardless of their default N.
+    @property
+    def N(self) -> int:
+        """Default length used when `N` is not passed to a method
+        (reference: old/ssqueezepy/wavelets.py:161-171). Settable:
+        `wavelet.N = 2048`."""
+        return self.__dict__.get("_default_N", 1024)
+
+    @property
+    def xi(self):
+        """Radian frequency grid at scale=1, length `self.N`
+        (reference: old/ssqueezepy/wavelets.py:173-177)."""
+        return xifn(1, self.N, xp=np)
+
+    @property
+    def dtype(self) -> str:
+        """dtype at which psih/psi are generated. Host planning is float64;
+        an explicit 'dtype' config overrides (reference wavelets.py:179-183)."""
+        return str(self.config.get("dtype", "float64"))
+
     # -- evaluation -----------------------------------------------------------
     @cached_property
     def _fn(self):
@@ -132,6 +171,44 @@ class Wavelet:
         alias of psi_time. Returns a complex numpy array of length N."""
         out = np.asarray(self.psi_time(float(scale), int(N), xp=np))
         return out[0] if out.ndim == 2 else out
+
+    def xifn(self, scale=None, N=None):
+        """Radian frequencies `scale * xi(1, N)` (reference name/behavior
+        parity: old/ssqueezepy/wavelets.py:111-133). 1D array `scale`
+        broadcasts to a (n_scales, N) grid; defaults scale=1, N=self.N."""
+        if N is None and scale is None:
+            return self.xi
+        N = self.N if N is None else int(N)
+        scale = 1.0 if scale is None else scale
+        scale = np.asarray(scale, dtype=np.float64)
+        if scale.ndim > 1 and scale.squeeze().ndim > 1:
+            raise ValueError("2D `scale` unsupported")
+        if scale.ndim >= 1 and scale.size > 1:
+            scale = scale.reshape(-1, 1)
+        return scale * xifn(1, N, xp=np)
+
+    def Psih(self, scale=None, N=None, nohalf=True):
+        """Filterbank memo: recompute only when (scale, N) changed since the
+        last call; both None returns the previous result (reference:
+        old/ssqueezepy/wavelets.py:135-160). Cached outside the dataclass
+        fields, so ==/hash are unaffected."""
+        d = self.__dict__
+        pN, ps = d.get("_Psih_N"), d.get("_Psih_scale")
+        N_is_None = N is None
+        N = N or self.N
+        if "_Psih" in d:
+            if scale is None and N_is_None:
+                return d["_Psih"]
+            if (N == pN and ps is not None and
+                    np.shape(scale) == np.shape(ps) and
+                    np.allclose(np.asarray(scale, dtype=np.float64), ps)):
+                return d["_Psih"]
+        out = self.sample(np.asarray(scale, dtype=np.float64), int(N),
+                          xp=np, nohalf=nohalf)
+        d["_Psih"] = out
+        d["_Psih_N"] = int(N)
+        d["_Psih_scale"] = np.asarray(scale, dtype=np.float64)
+        return out
 
     def sample(self, scales, N: int, xp=np, nohalf: bool = False,
                half: bool = False):
@@ -182,6 +259,27 @@ class Wavelet:
     def scalec_ct(self) -> float:
         """Scale putting the peak at pi/4 (reference wavelets.py:239-246)."""
         return (4 / np.pi) * self.wc_ct
+
+    @property
+    def wc(self) -> float:
+        """Energy center frequency at scale=scalec_ct, N=self.N
+        [(radians*cycles)/samples] (reference: wavelets.py:211-226). Cached;
+        `reset_properties()` recomputes for the current `self.N`."""
+        if self.__dict__.get("_wc") is None:
+            self.__dict__["_wc"] = float(self.center_frequency(
+                scale=self.scalec_ct, N=self.N, kind="energy"))
+        return self.__dict__["_wc"]
+
+    TF_PROPS = ("wc", "wc_ct", "scalec_ct")
+
+    def reset_properties(self):
+        """Recompute cached time-frequency properties for the current
+        `self.N` (reference: wavelets.py:334-340). Covers `TF_PROPS`; the
+        std_t/std_w family is computed on demand here, so it never stales."""
+        for name in ("_wc", "wc_ct", "scalec_ct", "_Psih", "_Psih_N",
+                     "_Psih_scale"):
+            self.__dict__.pop(name, None)
+        _ = (self.wc_ct, self.scalec_ct, self.wc)
 
     def center_frequency(self, scale=None, N=1024, kind="energy",
                          force_int=None):
@@ -259,13 +357,41 @@ class Wavelet:
             wc_txt = f"wc, (cycles*radians)/samples; scale={self.scalec_ct:.2f}"
             dim_t = "samples/(cycles*radians)"
             dim_w = "(cycles*radians)/samples"
-        cfg = ", ".join(f"{k}={v}" for k, v in self.config.items()
-                        if k not in ("norm", "centered_scale", "dtype"))
-        print(f"{self.name} wavelet\n\t{cfg or 'Default configs'}\n"
+        cfg = self.config_str
+        print(f"{self.name} wavelet\n\t{cfg}\n"
               f"\tCenter frequency: {wc:<10.6f} [{wc_txt}]\n"
               f"\tTime resolution:  {std_t:<10.6f} [std_t, {dim_t}]\n"
               f"\tFreq resolution:  {std_w:<10.6f} [std_w, {dim_w}]\n"
               f"\tHeisenberg area:  {std_t * std_w:.12f}")
+
+
+# `wavelet.N = value` parity (reference wavelets.py:166-171): the frozen
+# dataclass's generated __setattr__ rejects every assignment (and dataclass
+# forbids defining __setattr__ in the class body when frozen=True), so route
+# just the documented mutable convenience state around it post-class. The
+# value lands in instance __dict__, not a field — ==/hash stay (name, params).
+_frozen_setattr = Wavelet.__setattr__
+
+
+def _wavelet_setattr(self, name, value):
+    if name == "N":
+        self.__dict__["_default_N"] = int(value)
+        self.__dict__.pop("_wc", None)  # wc is tied to N (reference ties
+        return                          # xi to N the same way)
+    _frozen_setattr(self, name, value)
+
+
+Wavelet.__setattr__ = _wavelet_setattr
+
+
+def isinstance_by_name(obj, ref):
+    """Class-identity check robust to module reloads (reference parity:
+    old/ssqueezepy/wavelets.py:977-983): compares fully-qualified class
+    names instead of class objects."""
+    def _class_name(o):
+        name = getattr(o, "__qualname__", getattr(o, "__name__", ""))
+        return (getattr(o, "__module__", "") + "." + name).lstrip(".")
+    return _class_name(type(obj)) == _class_name(ref)
 
 
 @lru_cache(maxsize=256)

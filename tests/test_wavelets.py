@@ -226,3 +226,61 @@ def test_callable_wavelet_registry_bounded_and_robust():
         w2 = Wavelet(w.name if w.name not in _FAMILIES else
                      "_custom_0", ())
         w2.psih(np.array([1.0]))
+
+
+def test_stateful_convenience_surface():
+    """Reference Wavelet state parity: N/xi/dtype/config_str/wc/Psih/
+    reset_properties/isinstance_by_name (old/ssqueezepy/wavelets.py:111-340,
+    977-983). State must not affect ==/hash (frozen spec semantics)."""
+    from ssqueeze_rs_tpu.wavelets import Wavelet, isinstance_by_name
+    from ssqueeze_rs_tpu.utils.fft import xifn
+
+    w = Wavelet.build("gmw")
+    assert w.N == 1024
+    assert np.allclose(w.xi, xifn(1, 1024))
+    w.N = 2048
+    assert w.N == 2048 and len(w.xi) == 2048
+
+    # xifn method: scalar, None, and 1D-scale broadcast
+    assert np.allclose(w.xifn(), w.xi)
+    assert np.allclose(w.xifn(2.0, 512), 2.0 * xifn(1, 512))
+    grid = w.xifn(np.array([1.0, 2.0, 4.0]), 256)
+    assert grid.shape == (3, 256)
+    assert np.allclose(grid[2], 4.0 * xifn(1, 256))
+
+    # Psih memo: same (scale, N) returns the identical cached array
+    sc = np.array([2.0, 4.0, 8.0])
+    P1 = w.Psih(sc, 512)
+    assert P1.shape == (3, 512)
+    assert w.Psih(sc, 512) is P1
+    assert w.Psih() is P1                      # both-None -> previous
+    P2 = w.Psih(sc[:2], 512)                   # changed scale -> recompute
+    assert P2.shape == (2, 512)
+    assert np.allclose(P1, w.sample(sc, 512, nohalf=True))
+
+    # dtype / config_str
+    assert w.dtype == "float64"
+    cs = w.config_str
+    assert "gamma=3" in cs and "norm" not in cs
+
+    # wc: energy center frequency at scalec_ct, tied to N
+    wc_2048 = w.wc
+    assert np.isclose(wc_2048, w.center_frequency(
+        scale=w.scalec_ct, N=2048, kind="energy"))
+    w.N = 1024
+    w.reset_properties()
+    assert np.isfinite(w.wc)
+
+    # state excluded from equality/hash
+    w2 = Wavelet.build("gmw")
+    w2.N = 4096
+    w3 = Wavelet.build("gmw")
+    assert w2 == w3 and hash(w2) == hash(w3)
+
+    assert isinstance_by_name(w, Wavelet)
+    assert not isinstance_by_name(w, dict)
+
+    # non-whitelisted assignment still rejected (frozen spec)
+    import pytest
+    with pytest.raises(Exception):
+        w.name = "other"
