@@ -166,10 +166,18 @@ class Wavelet:
         `Wavelet.fn`."""
         return self.psih(np.asarray(w, dtype=np.float64), np)
 
-    def psifn(self, scale=1.0, N=1024):
-        """Time-domain wavelet (reference name parity: wavelets.py:97-109);
-        alias of psi_time. Returns a complex numpy array of length N."""
-        out = np.asarray(self.psi_time(float(scale), int(N), xp=np))
+    def psifn(self, w=None, *, scale=None, N=None):
+        """Time-domain wavelet via spectral reversal + iFFT (reference
+        signature/behavior parity: wavelets.py:97-109). With `w` given,
+        inverts psih(w) directly; else samples at (scale, N) — defaults
+        scale=1, N=self.N. Returns a complex numpy array."""
+        if w is not None:
+            psih = np.asarray(self(w))
+            pn = (-1.0) ** np.arange(psih.shape[-1])
+            return np.fft.ifft(psih * pn, axis=-1)
+        scale = 1.0 if scale is None else scale
+        N = self.N if N is None else int(N)
+        out = np.asarray(self.psi_time(float(scale), N, xp=np))
         return out[0] if out.ndim == 2 else out
 
     def xifn(self, scale=None, N=None):
