@@ -32,6 +32,8 @@ from .experimental import scale_to_freq, freq_to_scale  # noqa: E402
 from . import toolkit  # noqa: E402
 from . import visuals  # noqa: E402  (matplotlib imported lazily inside)
 from .serve import TransformServer  # noqa: E402
+from .streaming import (StreamingSTFT, StreamingSSQSTFT,  # noqa: E402
+                        StreamingCWT, StreamingSSQCWT)
 from .io import ParquetRecording, parquet_to_raw  # noqa: E402
 
 # reference-name conveniences (ssqueezepy re-exports these at top level)
@@ -65,4 +67,6 @@ __all__ = [
     "stft", "istft", "get_window", "cwt", "icwt", "phase_cwt", "phase_stft",
     "phase_cwt_num", "ssqueeze", "ssq_cwt", "issq_cwt", "ssq_stft",
     "issq_stft", "tkeo", "tkeo_modified", "extract_ridges", "TestSignals",
+    "TransformServer", "StreamingSTFT", "StreamingSSQSTFT", "StreamingCWT",
+    "StreamingSSQCWT",
 ]

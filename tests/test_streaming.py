@@ -1,0 +1,153 @@
+"""Streaming transforms: block-fed outputs vs the offline transforms.
+
+STFT family must be column-EXACT (the carried context reproduces the
+offline reflect-pad + framing, ops/stft.py:235-262); the CWT family is
+halo-bounded like parallel.chunked (interior columns tight, documented
+tail-mass approximation).
+"""
+import numpy as np
+import pytest
+
+from ssqueeze_rs_tpu import stft, ssq_stft, cwt
+from ssqueeze_rs_tpu.streaming import (StreamingSTFT, StreamingSSQSTFT,
+                                       StreamingCWT, StreamingSSQCWT)
+
+
+def _chirp(N, fs=1000.0, seed=0):
+    t = np.arange(N) / fs
+    rng = np.random.default_rng(seed)
+    x = (np.cos(2 * np.pi * (20 + 80 * t) * t)
+         + 0.5 * np.sin(2 * np.pi * 140 * t)
+         + 0.01 * rng.standard_normal(N))
+    return x.astype(np.float64), t
+
+
+def _stream(s, x, sizes):
+    """Feed `x` in ragged chunks of the given sizes (cycled), collect."""
+    outs, i, k = [], 0, 0
+    while i < len(x):
+        n = sizes[k % len(sizes)]
+        outs.append(s.feed(x[i:i + n]))
+        i += n
+        k += 1
+    outs.append(s.flush())
+    if isinstance(outs[0], tuple):
+        return tuple(np.concatenate(p, axis=-1) for p in zip(*outs))
+    return np.concatenate(outs, axis=-1)
+
+
+@pytest.mark.parametrize("hop,n_fft", [(1, 64), (4, 128), (16, 256)])
+def test_streaming_stft_exact(hop, n_fft):
+    N = 3000
+    x, _ = _chirp(N)
+    ref = np.asarray(stft(x, n_fft=n_fft, hop_len=hop, dtype="float64"))
+
+    s = StreamingSTFT(block=512, n_fft=n_fft, hop_len=hop, dtype="float64")
+    got = _stream(s, x, sizes=[173, 512, 64, 1000])
+    assert got.shape == ref.shape
+    assert np.allclose(got, ref, rtol=0, atol=5e-14 * np.abs(ref).max())
+
+
+def test_streaming_stft_derivative_and_reuse():
+    N = 1500
+    x, _ = _chirp(N, seed=1)
+    ref_S, ref_dS = stft(x, n_fft=128, derivative=True, dtype="float64")
+    s = StreamingSTFT(block=256, n_fft=128, derivative=True,
+                      dtype="float64")
+    S, dS = _stream(s, x, sizes=[256])
+    bar = 5e-14 * np.abs(np.asarray(ref_S)).max()
+    assert np.allclose(S, np.asarray(ref_S), atol=bar)
+    assert np.allclose(dS, np.asarray(ref_dS),
+                       atol=5e-14 * np.abs(np.asarray(ref_dS)).max())
+    # reset() reuses the compiled step
+    s.reset()
+    S2, _ = _stream(s, x, sizes=[499, 3])
+    assert np.allclose(S2, S, atol=0)
+
+
+def test_streaming_stft_short_stream_edges():
+    """Stream shorter than one block (and than the prefix) still matches
+    offline (flush builds both reflect pads)."""
+    x, _ = _chirp(200, seed=2)
+    ref = np.asarray(stft(x, n_fft=64, dtype="float64"))
+    s = StreamingSTFT(block=512, n_fft=64, dtype="float64")
+    got = _stream(s, x, sizes=[200])
+    assert got.shape == ref.shape
+    assert np.allclose(got, ref, atol=5e-14 * np.abs(ref).max())
+
+
+def test_streaming_ssq_stft_exact():
+    N = 2048
+    fs = 1000.0
+    x, _ = _chirp(N, fs=fs)
+    ref_Tx, ref_Sx, ref_freqs, _ = ssq_stft(x, n_fft=128, fs=fs,
+                                            dtype="float64")
+    s = StreamingSSQSTFT(block=512, n_fft=128, fs=fs, dtype="float64")
+    Tx, Sx = _stream(s, x, sizes=[300, 512, 100])
+    assert np.allclose(np.asarray(s.ssq_freqs), np.asarray(ref_freqs))
+    assert np.allclose(Sx, np.asarray(ref_Sx),
+                       atol=5e-14 * np.abs(np.asarray(ref_Sx)).max())
+    assert np.allclose(Tx, np.asarray(ref_Tx),
+                       atol=1e-12 * np.abs(np.asarray(ref_Tx)).max())
+    assert s.latency_samples == (128 - 1) // 2
+
+
+def test_streaming_cwt_interior_bounded():
+    """Interior streamed CWT columns approach the offline transform; the
+    bound tightens as the halo grows (tail-mass argument, same contract as
+    chunked_cwt's approximate mode)."""
+    N = 4096
+    x, _ = _chirp(N, seed=3)
+    Wx_ref, scales = cwt(x, fs=1000.0, dtype="float64",
+                         scales="log-piecewise", nv=16)
+    Wx_ref = np.asarray(Wx_ref)
+
+    s = StreamingCWT(block=1024, fs=1000.0, nv=16, plan_N=N, halo=448,
+                     dtype="float64")
+    got = _stream(s, x, sizes=[1024])
+    assert got.shape == Wx_ref.shape
+    assert np.allclose(np.asarray(s.scales), np.asarray(scales))
+
+    # rows whose kernel fits the halo (row_tail_mass) must match the
+    # offline transform almost exactly on interior columns; the
+    # near-Nyquist ringing rows are bounded loosely (same split as
+    # chunked_cwt's hybrid exact mode)
+    interior = slice(s.halo, N - s.halo)
+    tight = s.row_tail_mass < 1e-8
+    assert tight.sum() > 0.25 * len(tight)
+    den = np.abs(Wx_ref).max()
+    num_tight = np.abs(got[tight][:, interior]
+                       - Wx_ref[tight][:, interior]).max()
+    assert num_tight / den < 5e-9   # measured 7.9e-10; bound ~0.15*mass
+    num_all = np.abs(got[:, interior] - Wx_ref[:, interior]).max()
+    assert num_all / den < 5e-2
+
+
+def test_streaming_ssq_cwt_runs_and_concentrates():
+    """Streamed ssq_cwt energy concentrates at the tone frequency and the
+    row grids match the offline planning at plan_N."""
+    N = 2048
+    fs = 1000.0
+    t = np.arange(N) / fs
+    x = np.cos(2 * np.pi * 100.0 * t)
+
+    s = StreamingSSQCWT(block=512, fs=fs, nv=16, plan_N=N, halo=256,
+                        dtype="float64")
+    Tx, Wx = _stream(s, x, sizes=[512])
+    assert Tx.shape[-1] == N and Wx.shape[-1] == N
+
+    interior = slice(s.halo, N - s.halo)
+    assert interior.stop > interior.start
+    E_rows = np.abs(Tx[:, interior]).sum(axis=1)
+    f_peak = np.asarray(s.ssq_freqs)[np.argmax(E_rows)]
+    assert abs(f_peak - 100.0) / 100.0 < 0.05
+
+    # the default (capped) halo warns but still peaks correctly
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        s_def = StreamingSSQCWT(block=512, fs=fs, nv=16, plan_N=N,
+                                dtype="float64")
+    Tx_d, _ = _stream(s_def, x, sizes=[512])
+    E_d = np.abs(Tx_d).sum(axis=1)
+    assert abs(np.asarray(s_def.ssq_freqs)[np.argmax(E_d)] - 100.0) < 5.0
