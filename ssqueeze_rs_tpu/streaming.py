@@ -65,6 +65,7 @@ class _StreamerBase:
         self._n_raw = 0
         self._n_emitted = 0
         self._finished = False
+        self._batch_shape = ()      # leading (channel) dims, set on feed
 
     @property
     def latency_samples(self) -> int:
@@ -78,10 +79,21 @@ class _StreamerBase:
     def _append(self, buf, x):
         return x if buf is None else np.concatenate([buf, x], axis=-1)
 
+    @staticmethod
+    def _fetch(c):
+        """Device->host fetch. Complex arrays come back as separate
+        real/imag planes: complex dtype transfers raise UNIMPLEMENTED on
+        the TPU relay at any size (same workaround as
+        parallel/pipeline.py)."""
+        if jnp.iscomplexobj(c):
+            return np.asarray(c.real) + 1j * np.asarray(c.imag)
+        return np.asarray(c)
+
     def _empty_out(self, outs):
         # shape-correct empty result so callers can concatenate blindly
         z = self._step_out_struct()
-        empty = tuple(np.zeros(s[:-1] + (0,), d) for s, d in z)
+        empty = tuple(np.zeros(self._batch_shape + s[:-1] + (0,), d)
+                      for s, d in z)
         return empty if len(empty) > 1 else empty[0]
 
     def _pack(self, outs):
@@ -98,6 +110,12 @@ class _StreamerBase:
             raise RuntimeError("stream already flushed; call reset()")
         x = np.asarray(x)
         if x.shape[-1]:
+            if self._n_raw == 0:
+                self._batch_shape = x.shape[:-1]
+            elif x.shape[:-1] != self._batch_shape:
+                raise ValueError(
+                    f"feed() channel shape changed mid-stream: "
+                    f"{x.shape[:-1]} vs {self._batch_shape}")
             self._n_raw += x.shape[-1]
             keep = self._suffix_len + 1
             t = self._append(self._tail, x)
@@ -116,7 +134,7 @@ class _StreamerBase:
         outs = []
         while self._buf is not None and self._buf.shape[-1] >= self._E:
             cols = self._step(jnp.asarray(self._buf[..., :self._E]))
-            outs.append(tuple(np.asarray(c) for c in cols))
+            outs.append(tuple(self._fetch(c) for c in cols))
             self._buf = self._buf[..., self._advance:]
             self._n_emitted += self._cols_per_step
         return self._pack(outs)
@@ -154,7 +172,7 @@ class _StreamerBase:
                 seg = np.pad(seg, pad)
             cols = self._step(jnp.asarray(seg))
             k = min(remaining, self._cols_per_step)
-            outs.append(tuple(np.asarray(c)[..., :k] for c in cols))
+            outs.append(tuple(self._fetch(c)[..., :k] for c in cols))
             self._buf = self._buf[..., self._advance:]
             remaining -= k
         return self._pack(outs)

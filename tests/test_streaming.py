@@ -151,3 +151,26 @@ def test_streaming_ssq_cwt_runs_and_concentrates():
     Tx_d, _ = _stream(s_def, x, sizes=[512])
     E_d = np.abs(Tx_d).sum(axis=1)
     assert abs(np.asarray(s_def.ssq_freqs)[np.argmax(E_d)] - 100.0) < 5.0
+
+
+def test_streaming_multichannel():
+    """2D (channels, time) feeds stream exactly; empty feeds keep the
+    channel dims in the result shape."""
+    C, N = 3, 1200
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((C, N))
+    ref = np.asarray(stft(x, n_fft=64, dtype="float64"))
+
+    s = StreamingSTFT(block=256, n_fft=64, dtype="float64")
+    small = s.feed(x[:, :10])          # below one block: empty, right dims
+    assert small.shape == (C, 64 // 2 + 1, 0)
+    rest = _stream(s, x[:, 10:], sizes=[256, 100])
+    got = np.concatenate([small, rest], axis=-1)
+    assert got.shape == ref.shape
+    assert np.allclose(got, ref, atol=5e-14 * np.abs(ref).max())
+
+    import pytest
+    s.reset()
+    s.feed(x[:, :10])
+    with pytest.raises(ValueError, match="channel shape changed"):
+        s.feed(x[:2, :10])
