@@ -40,13 +40,69 @@ from .utils.windows import get_window, check_nola
 from .utils.pad import next_power_of_2
 from .ops.stft import stft_core
 from .ops.ssqueeze import (plan_reassignment, reassign,
-                           compute_associated_frequencies)
+                           compute_associated_frequencies,
+                           check_ssqueezing_args)
 from .wavelets import Wavelet
 from .scales import process_scales, process_fs_and_t
 from .parallel.chunked import default_cwt_halo
 
 __all__ = ["StreamingSTFT", "StreamingSSQSTFT", "StreamingCWT",
            "StreamingSSQCWT"]
+
+
+class _SqueezeMixin:
+    """Shared synchrosqueezing step pieces for the SSQ streamers.
+
+    Follows `ops.ssqueeze.ssqueeze` exactly: the squeezing transform of
+    Wx happens BEFORE the fused phase+scatter (reference `ssqueeze_fast`
+    semantics — with 'lebesgue'/'abs' the phase derives from the
+    transformed Wx), and the scatter runs through the Pallas kernel when
+    `use_pallas_kernels()` says so (the XLA scatter-add serializes on
+    TPU), else the jnp oracle."""
+
+    def _init_squeeze(self, squeezing, gamma, flipud, rdtype, const_arr,
+                      mode, params_host, Sfs_row, nf, transform):
+        from types import FunctionType
+        check_ssqueezing_args(squeezing, transform=transform)
+        if not isinstance(squeezing, (str, FunctionType)):
+            raise TypeError("`squeezing` must be a string or function")
+        self.squeezing = squeezing
+        self.flipud = bool(flipud)
+        self.nf = int(nf)
+        self._transform = transform
+        self._mode = mode
+        self._params_host = dict(params_host)
+        self._params = {k: (jnp.asarray(v) if k != "idx1" else
+                            jnp.asarray(v, jnp.int32))
+                        for k, v in params_host.items()}
+        if gamma is None:
+            gamma = 10 * (EPS64 if rdtype == jnp.float64 else EPS32)
+        self._gamma_f = float(gamma)
+        self._gamma = jnp.asarray(gamma, rdtype)
+        self._const = jnp.asarray(const_arr, rdtype)
+        self._Sfs_j = jnp.asarray(Sfs_row, rdtype)
+
+    def _apply_squeezing(self, Wx):
+        from types import FunctionType
+        if isinstance(self.squeezing, FunctionType):
+            return self.squeezing(Wx)
+        if self.squeezing == "lebesgue":
+            return jnp.ones(Wx.shape, dtype=Wx.dtype) / Wx.shape[-2]
+        if self.squeezing == "abs":
+            return jnp.abs(Wx).astype(Wx.dtype)
+        return Wx
+
+    def _reassign_cols(self, Wq, dWx):
+        from .config import use_pallas_kernels
+        if use_pallas_kernels():
+            from .ops.reassign_pallas import reassign_pallas
+            return reassign_pallas(Wq, dWx, self._const, self._gamma_f,
+                                   self._Sfs_j, self._params_host,
+                                   mode=self._mode, flipud=self.flipud,
+                                   transform=self._transform, nf=self.nf)
+        return reassign(Wq, dWx, self._const, self._gamma, self._Sfs_j,
+                        self._params, mode=self._mode, flipud=self.flipud,
+                        fused=True, transform=self._transform, nf=self.nf)
 
 
 class _StreamerBase:
@@ -133,11 +189,23 @@ class _StreamerBase:
 
         outs = []
         while self._buf is not None and self._buf.shape[-1] >= self._E:
-            cols = self._step(jnp.asarray(self._buf[..., :self._E]))
+            cols = self._jit_step(jnp.asarray(self._buf[..., :self._E]))
             outs.append(tuple(self._fetch(c) for c in cols))
             self._buf = self._buf[..., self._advance:]
             self._n_emitted += self._cols_per_step
         return self._pack(outs)
+
+    @property
+    def _jit_step(self):
+        """The whole step (transform [+ squeeze] + trims) as ONE compiled
+        program: eager slicing/squeezing on device arrays would add a
+        dispatch each (~4-5 ms fixed cost over the TPU relay), and some
+        pipelines only lower correctly under jit on that backend. Cached
+        across reset()."""
+        fn = self.__dict__.get("_jstep")
+        if fn is None:
+            fn = self.__dict__["_jstep"] = jax.jit(self._step)
+        return fn
 
     def flush(self):
         """Terminate the stream: synthesize the right reflect pad, emit
@@ -155,11 +223,11 @@ class _StreamerBase:
             self._staging = None
         if self._suffix_len:
             t = self._tail
-            # reflect needs suffix_len + 1 source samples; short streams
-            # fall back to numpy's symmetric-extension of what exists
+            # 'reflect' handles pads wider than the source by repeated
+            # reflection — the same extension padsignal applies offline,
+            # so even sub-pad-length streams stay exact
             pad = [(0, 0)] * (t.ndim - 1) + [(0, self._suffix_len)]
-            mode = "reflect" if t.shape[-1] > self._suffix_len else "symmetric"
-            sfx = np.pad(t, pad, mode=mode)[..., t.shape[-1]:]
+            sfx = np.pad(t, pad, mode="reflect")[..., t.shape[-1]:]
             self._buf = self._append(self._buf, sfx)
 
         outs = []
@@ -170,7 +238,7 @@ class _StreamerBase:
                 pad = [(0, 0)] * (seg.ndim - 1) + \
                       [(0, self._E - seg.shape[-1])]
                 seg = np.pad(seg, pad)
-            cols = self._step(jnp.asarray(seg))
+            cols = self._jit_step(jnp.asarray(seg))
             k = min(remaining, self._cols_per_step)
             outs.append(tuple(self._fetch(c)[..., :k] for c in cols))
             self._buf = self._buf[..., self._advance:]
@@ -234,7 +302,7 @@ class StreamingSTFT(_StreamerBase):
         return (Sx, dSx) if self.derivative else (Sx,)
 
 
-class StreamingSSQSTFT(_StreamerBase):
+class StreamingSSQSTFT(_SqueezeMixin, _StreamerBase):
     """Streaming synchrosqueezed STFT — exact: the STFT columns are exact
     (StreamingSTFT) and the phase transform + reassignment read only their
     own column (ops/ssq_stft.py; reference algos.py:183-192). Each step is
@@ -257,18 +325,12 @@ class StreamingSSQSTFT(_StreamerBase):
         self.Sfs = np.linspace(0, 0.5 * self._stft.fs, nf,
                                dtype=(np.float64 if rdtype == jnp.float64
                                       else np.float32))
-        const_arr, self._mode, params = plan_reassignment(
+        const_arr, mode, params = plan_reassignment(
             self.Sfs, nf, False, transform="stft")
-        self._params = {k: jnp.asarray(v) for k, v in params.items()}
-        self._const = jnp.asarray(np.full(nf, float(const_arr[0])), rdtype)
-        if gamma is None:
-            gamma = 10 * (EPS64 if rdtype == jnp.float64 else EPS32)
-        self._gamma = jnp.asarray(gamma, rdtype)
-        self._Sfs_j = jnp.asarray(self.Sfs, rdtype)
-        self.flipud = bool(flipud)
-        self.squeezing = squeezing
-        self.ssq_freqs = self.Sfs[::-1] if flipud else self.Sfs
-        self.nf = nf
+        self._init_squeeze(squeezing, gamma, flipud, rdtype,
+                           np.full(nf, float(const_arr[0])), mode, params,
+                           self.Sfs, nf, "stft")
+        self.ssq_freqs = self.Sfs[::-1] if self.flipud else self.Sfs
 
         for a in ("_E", "_advance", "_cols_per_step", "_prefix_len",
                   "_suffix_len", "_hop"):
@@ -287,9 +349,7 @@ class StreamingSSQSTFT(_StreamerBase):
 
     def _step(self, xe):
         Sx, dSx = self._stft._step(xe)
-        Tx = reassign(Sx, dSx, self._const, self._gamma, self._Sfs_j,
-                      self._params, mode=self._mode, flipud=self.flipud,
-                      fused=True, transform="stft", nf=self.nf)
+        Tx = self._reassign_cols(self._apply_squeezing(Sx), dSx)
         return Tx, Sx
 
 
@@ -302,8 +362,11 @@ class StreamingCWT(_StreamerBase):
     the default halo comes from `default_cwt_halo` at the largest scale).
     The step length `block + 2*halo` is rounded up to a power of two so
     the fused MXU iFFT engines apply — the rounding widens the halo for
-    free. `plan_N` fixes the scale grid (defaults to the step length;
-    pass the nominal recording length to reproduce an offline grid).
+    free. `plan_N` fixes the scale grid (default: `block`; pass the
+    nominal recording length to reproduce an offline grid — the default
+    halo is always sized from THAT grid's largest scale, then capped at
+    3.5*block with a warning; `row_tail_mass` reports the per-row truth
+    either way).
     """
 
     def __init__(self, block=8192, wavelet="gmw", scales="log-piecewise",
@@ -340,13 +403,12 @@ class StreamingCWT(_StreamerBase):
         self._prefix_len = E - self.block - self._suffix_len
         self._E = E
         self.halo = min(self._prefix_len, self._suffix_len)
-        self.plan_N = int(plan_N or E)
-        if self.plan_N != probe_N:
-            scales_arr, self.scaletype, _, self.nv = process_scales(
-                scales, self.plan_N, self.wavelet, nv=nv, get_params=True)
+        # the grid is planned ONCE, at plan_N (default: block), and the
+        # default halo above came from that same grid — planning at a
+        # different length here would silently undersize the halo for
+        # the re-planned grid's largest scales
+        self.plan_N = probe_N
         self.scales = scales_arr.squeeze()
-        self._scales_j = jnp.asarray(np.asarray(self.scales).reshape(-1),
-                                     dtype=self.dtype)
         self._tail_mass = None     # lazy: row_tail_mass property
 
         self._hop = 1
@@ -394,7 +456,7 @@ class StreamingCWT(_StreamerBase):
         return self._cwt_cols(xe)
 
 
-class StreamingSSQCWT(StreamingCWT):
+class StreamingSSQCWT(_SqueezeMixin, StreamingCWT):
     """Streaming synchrosqueezed CWT: halo-bounded CWT columns + exact
     column-local reassignment (same plan as parallel.chunked_ssq_cwt).
     feed()/flush() return (Tx, Wx) column blocks."""
@@ -411,23 +473,18 @@ class StreamingSSQCWT(StreamingCWT):
             scales_col, self.plan_N, self.wavelet, self.scaletype,
             maprange, True, self._dt, "cwt")
         na = len(scales_col)
-        const_arr, self._mode, params = plan_reassignment(
+        const_arr, mode, params = plan_reassignment(
             self.ssq_freqs, na, self.scaletype.startswith("log"),
             transform="cwt", cwt_scaletype=self.scaletype, nv=self.nv,
             scales=scales_col)
-        self._params = {k: (jnp.asarray(v) if k != "idx1" else
-                            jnp.asarray(v, jnp.int32))
-                        for k, v in params.items()}
         rdtype = jnp.float64 if self.dtype == "float64" else jnp.float32
-        if gamma is None:
-            gamma = 10 * (EPS64 if rdtype == jnp.float64 else EPS32)
-        self._gamma = jnp.asarray(gamma, rdtype)
-        self._const = jnp.asarray(const_arr, rdtype)
-        self._Sfs_j = jnp.zeros((na,), rdtype)
-        self.flipud = bool(flipud)
-        self.nf = len(self.ssq_freqs)
-        if flipud:
-            self.ssq_freqs = self.ssq_freqs[::-1]
+        self._init_squeeze(squeezing, gamma, flipud, rdtype, const_arr,
+                           mode, params, np.zeros((na,)),
+                           len(self.ssq_freqs), "cwt")
+        # CWT ssq_freqs flip UNCONDITIONALLY (scales go high->low, so the
+        # natural row order is descending frequency; reference
+        # ssqueezing.py:217-223 and ops/ssqueeze.py:393-395)
+        self.ssq_freqs = self.ssq_freqs[::-1]
 
     def _step_out_struct(self):
         na = len(np.atleast_1d(self.scales))
@@ -436,7 +493,5 @@ class StreamingSSQCWT(StreamingCWT):
 
     def _step(self, xe):
         Wx, dWx = self._cwt_cols(xe)
-        Tx = reassign(Wx, dWx, self._const, self._gamma, self._Sfs_j,
-                      self._params, mode=self._mode, flipud=self.flipud,
-                      fused=True, transform="cwt", nf=self.nf)
+        Tx = self._reassign_cols(self._apply_squeezing(Wx), dWx)
         return Tx, Wx

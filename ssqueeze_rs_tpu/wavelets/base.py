@@ -172,8 +172,14 @@ class Wavelet:
         inverts psih(w) directly; else samples at (scale, N) — defaults
         scale=1, N=self.N. Returns a complex numpy array."""
         if w is not None:
-            psih = np.asarray(self(w))
-            pn = (-1.0) ** np.arange(psih.shape[-1])
+            psih = np.asarray(self(w), dtype=np.complex128).copy()
+            # nohalf=False semantics: halve the Nyquist bin of even-length
+            # grids for analyticity/decay (reference wavelets.py:86-95,
+            # applied by psifn via self(w, nohalf=False))
+            M = psih.shape[-1]
+            if M % 2 == 0:
+                psih[..., M // 2] /= 2
+            pn = (-1.0) ** np.arange(M)
             return np.fft.ifft(psih * pn, axis=-1)
         scale = 1.0 if scale is None else scale
         N = self.N if N is None else int(N)
@@ -207,10 +213,12 @@ class Wavelet:
         if "_Psih" in d:
             if scale is None and N_is_None:
                 return d["_Psih"]
-            if (N == pN and ps is not None and
+            if (N == pN and scale is not None and ps is not None and
                     np.shape(scale) == np.shape(ps) and
                     np.allclose(np.asarray(scale, dtype=np.float64), ps)):
                 return d["_Psih"]
+        if scale is None:
+            scale = 1.0   # reference __call__(scale=None) evaluates at 1
         out = self.sample(np.asarray(scale, dtype=np.float64), int(N),
                           xp=np, nohalf=nohalf)
         d["_Psih"] = out

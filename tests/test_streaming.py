@@ -174,3 +174,51 @@ def test_streaming_multichannel():
     s.feed(x[:, :10])
     with pytest.raises(ValueError, match="channel shape changed"):
         s.feed(x[:2, :10])
+
+
+def test_streaming_ssq_cwt_freq_labels_flipud_false():
+    """flipud=False must label rows exactly like offline ssq_cwt (CWT
+    ssq_freqs flip unconditionally — code-review r3 finding)."""
+    from ssqueeze_rs_tpu import ssq_cwt
+    N, fs = 1024, 1000.0
+    t = np.arange(N) / fs
+    x = np.cos(2 * np.pi * 100.0 * t)
+    _, _, freqs_ref, _ = ssq_cwt(x, fs=fs, nv=16, flipud=False)
+    s = StreamingSSQCWT(block=256, fs=fs, nv=16, plan_N=N, halo=128,
+                        flipud=False, dtype="float64")
+    assert np.allclose(np.asarray(s.ssq_freqs), np.asarray(freqs_ref))
+    s2 = StreamingSSQCWT(block=256, fs=fs, nv=16, plan_N=N, halo=128,
+                         flipud=True, dtype="float64")
+    from ssqueeze_rs_tpu import ssq_cwt as _sc
+    _, _, freqs_ref2, _ = _sc(x, fs=fs, nv=16, flipud=True)
+    assert np.allclose(np.asarray(s2.ssq_freqs), np.asarray(freqs_ref2))
+
+
+def test_streaming_squeezing_modes_match_offline():
+    """squeezing='lebesgue'/'abs' must transform Wx exactly as ssqueeze()
+    does (was silently ignored — code-review r3 finding)."""
+    N, fs = 1024, 1000.0
+    x, _ = _chirp(N, fs=fs, seed=9)
+    for sq in ("lebesgue", "abs"):
+        ref_Tx, *_ = ssq_stft(x, n_fft=128, fs=fs, squeezing=sq,
+                              dtype="float64")
+        s = StreamingSSQSTFT(block=256, n_fft=128, fs=fs, squeezing=sq,
+                             dtype="float64")
+        Tx, _ = _stream(s, x, sizes=[256])
+        ref = np.asarray(ref_Tx)
+        assert np.allclose(Tx, ref, atol=1e-12 * max(np.abs(ref).max(), 1)), sq
+
+    import pytest
+    with pytest.raises(ValueError):
+        StreamingSSQSTFT(block=256, n_fft=128, squeezing="bogus")
+
+
+def test_streaming_stft_tiny_stream_right_edge_exact():
+    """Streams shorter than the right pad reflect-extend repeatedly, same
+    as offline padsignal (was 'symmetric' — code-review r3 finding)."""
+    x, _ = _chirp(50, seed=11)
+    ref = np.asarray(stft(x, n_fft=256, dtype="float64"))
+    s = StreamingSTFT(block=512, n_fft=256, dtype="float64")
+    got = _stream(s, x, sizes=[50])
+    assert got.shape == ref.shape
+    assert np.allclose(got, ref, atol=5e-14 * np.abs(ref).max())

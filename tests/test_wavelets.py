@@ -284,3 +284,24 @@ def test_stateful_convenience_surface():
     import pytest
     with pytest.raises(Exception):
         w.name = "other"
+
+
+def test_psifn_nyquist_halving_and_psih_defaults():
+    """psifn(w) must halve the even-grid Nyquist bin (reference
+    psifn -> self(w, nohalf=False), wavelets.py:86-109); Psih with
+    scale omitted evaluates at scale=1 (code-review r3 findings)."""
+    from ssqueeze_rs_tpu.wavelets import Wavelet
+    from ssqueeze_rs_tpu.utils.fft import xifn
+
+    w = Wavelet.build("morlet")
+    N = 1024
+    grid = xifn(1, N) * 4.0          # scale-4 even-length grid
+    via_w = w.psifn(grid)
+    via_scale = w.psifn(scale=4.0, N=N)
+    assert np.allclose(via_w, via_scale, atol=1e-14)
+
+    # Psih: omitted scale on a cold cache = scale 1; N-only call works
+    g = Wavelet.build("gmw")
+    P = g.Psih(N=512)
+    assert P.shape == (512,)
+    assert np.allclose(P, g.sample(1.0, 512, nohalf=True))
