@@ -222,3 +222,28 @@ def test_streaming_stft_tiny_stream_right_edge_exact():
     got = _stream(s, x, sizes=[50])
     assert got.shape == ref.shape
     assert np.allclose(got, ref, atol=5e-14 * np.abs(ref).max())
+
+
+def test_streaming_stft_geometry_sweep():
+    """Randomized bookkeeping fuzz: n_fft parity x hop x block x ragged
+    feed sizes x stream lengths all reproduce offline columns."""
+    rng = np.random.default_rng(42)
+    for trial in range(12):
+        hop = int(rng.choice([1, 2, 3, 5, 8]))
+        n_fft = int(rng.choice([32, 63, 64, 129, 200]))
+        if n_fft < hop:
+            continue
+        block = hop * int(rng.integers(8, 64))
+        N = int(rng.integers(1, 2000))
+        x = rng.standard_normal(N)
+        ref = np.asarray(stft(x, n_fft=n_fft, hop_len=hop,
+                              dtype="float64"))
+        s = StreamingSTFT(block=block, n_fft=n_fft, hop_len=hop,
+                          dtype="float64")
+        sizes = [int(rng.integers(1, max(2, 2 * block)))
+                 for _ in range(4)]
+        got = _stream(s, x, sizes=sizes)
+        assert got.shape == ref.shape, (trial, hop, n_fft, block, N)
+        bar = 5e-14 * max(np.abs(ref).max(), 1.0)
+        assert np.allclose(got, ref, atol=bar), (trial, hop, n_fft,
+                                                 block, N)
