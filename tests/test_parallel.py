@@ -355,3 +355,41 @@ def test_chunked_issq_component_inversion(mesh):
     np.testing.assert_allclose(got[0],
                                (Txn.real * m).sum(0) * 2 / Css,
                                rtol=1e-12)
+
+
+def test_chunked_ssq_pallas_kernel_under_shard_map(mesh):
+    """The Pallas reassignment kernel (interpret mode on CPU) composes
+    with shard_map and matches the XLA-scatter path — the production
+    TPU-pod route for chunked_ssq_* (code-review r3 finding)."""
+    import os
+    from ssqueeze_rs_tpu.parallel import chunked_ssq_stft, chunked_ssq_cwt
+
+    N = 1024
+    t = np.arange(N) / 1000.0
+    x = np.cos(2 * np.pi * 100.0 * t) + 0.2 * np.sin(2 * np.pi * 40.0 * t)
+
+    def run_both(fn, **kw):
+        old = os.environ.get("SSQ_TPU_KERNELS")
+        try:
+            os.environ["SSQ_TPU_KERNELS"] = "0"
+            ref = fn(x, mesh, **kw)
+            os.environ["SSQ_TPU_KERNELS"] = "1"
+            got = fn(x, mesh, **kw)
+        finally:
+            if old is None:
+                os.environ.pop("SSQ_TPU_KERNELS", None)
+            else:
+                os.environ["SSQ_TPU_KERNELS"] = old
+        return ref, got
+
+    (Tx0, Sx0, f0, _), (Tx1, Sx1, f1, _) = run_both(
+        chunked_ssq_stft, n_fft=128, fs=1000.0)
+    assert np.allclose(np.asarray(f0), np.asarray(f1))
+    bar = 5e-6 * np.abs(np.asarray(Tx0)).max()
+    assert np.allclose(np.asarray(Tx1), np.asarray(Tx0), atol=bar)
+
+    (Tc0, Wc0, fc0, _), (Tc1, Wc1, fc1, _) = run_both(
+        chunked_ssq_cwt, fs=1000.0, nv=16)
+    assert np.allclose(np.asarray(Wc1), np.asarray(Wc0))
+    barc = 5e-6 * np.abs(np.asarray(Tc0)).max()
+    assert np.allclose(np.asarray(Tc1), np.asarray(Tc0), atol=barc)
