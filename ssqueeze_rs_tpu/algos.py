@@ -135,7 +135,10 @@ def zero_denormals(x, parallel=None):
     (reference: algos.py:593-613 — a CPU-FFT slowdown guard; harmless
     on TPU but kept for parity). numpy input is modified IN PLACE like
     the reference; JAX input returns a new array."""
-    tiny = 1000 * np.finfo(np.asarray(x).dtype).tiny
+    # read the dtype WITHOUT np.asarray: that would fetch a device array
+    # to host (hangs/UNIMPLEMENTED over the relay) and break under jit
+    tiny = 1000 * np.finfo(np.dtype(str(getattr(x, "dtype", None) or
+                                        np.asarray(x).dtype))).tiny
     if isinstance(x, np.ndarray):
         x[(x < tiny) & (x > -tiny)] = 0
         return x

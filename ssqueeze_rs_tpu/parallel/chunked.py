@@ -80,6 +80,34 @@ __all__ = ["chunked_stft", "chunked_cwt", "chunked_ssq_cwt",
            "halo_extend", "overlap_save_tail_mass"]
 
 
+def _clip_halo(halo, S):
+    """Clip a halo to the shard length; WARN when a user-meaningful halo
+    is silently reduced (the overlap-save error bound loosens)."""
+    H = int(min(halo, S - 1))
+    if H < int(halo):
+        from ..utils.common import WARN
+        WARN(f"requested halo ({int(halo)}) exceeds shard length - 1 "
+             f"({S - 1}); clipping to {H} — overlap-save accuracy for the "
+             "largest scales degrades (use fewer/larger shards, or "
+             "exact=True which globalizes the affected rows)")
+    return H
+
+
+def _squeeze_Wx(squeezing, Wx):
+    """The squeezing transform of Wx applied before the fused scatter
+    (reference ssqueezing.py:197-205 / ops/ssqueeze.py — with
+    'lebesgue'/'abs' the fused phase derives from the transformed Wx,
+    matching the reference's ssqueeze_fast)."""
+    from types import FunctionType
+    if isinstance(squeezing, FunctionType):
+        return squeezing(Wx)
+    if squeezing == "lebesgue":
+        return jnp.ones(Wx.shape, dtype=Wx.dtype) / Wx.shape[-2]
+    if squeezing == "abs":
+        return jnp.abs(Wx).astype(Wx.dtype)
+    return Wx
+
+
 def _reassign_local(Wx, dWx, const_j, gamma_j, gamma_f, Sfs_j, params_j,
                     params_host, *, mode, flipud, transform, nf):
     """Shard-local fused reassignment: the Pallas kernel when
@@ -164,7 +192,9 @@ def chunked_stft(x, mesh: Mesh, window=None, n_fft=None, win_len=None,
     _, fs, _ = process_fs_and_t(fs, None, N)
     n_fft = int(n_fft or min(N // hop_len, 512))
     if win_len is None:
-        win_len = (len(window) if isinstance(window, np.ndarray) else n_fft)
+        win_len = (len(window)
+                   if isinstance(window, (np.ndarray, jnp.ndarray))
+                   else n_fft)   # same rule as ops/stft.py:251
     dtype = dtype or DEFAULTS["dtype"]
     window, diff_window = get_window(window, win_len, n_fft, derivative=True,
                                      dtype=dtype)
@@ -392,7 +422,7 @@ def chunked_cwt(x, mesh: Mesh, wavelet="gmw", scales="log-piecewise", nv=32,
         x.shape, wavelet, scales, nv, fs, l1_norm=l1_norm)
     if halo is None:
         halo = default_cwt_halo(wavelet, float(scales_arr.max()))
-    H = int(min(halo, S - 1))
+    H = _clip_halo(halo, S)
 
     core, _ = _hybrid_cwt_shard(
         wavelet, scales_arr, dt, l1_norm=l1_norm, derivative=derivative,
@@ -427,7 +457,7 @@ def chunked_ssq_cwt(x, mesh: Mesh, wavelet="gmw", scales="log-piecewise",
     algos.py:183-192), so squeezing the trimmed local columns is exact
     given local CWT columns. All planning (scales, ssq_freqs, const,
     gamma) is global so shards agree."""
-    from ..ops.ssqueeze import reassign
+    from ..ops.ssqueeze import check_ssqueezing_args
 
     x = jnp.asarray(x)
     N = x.shape[-1]
@@ -439,9 +469,17 @@ def chunked_ssq_cwt(x, mesh: Mesh, wavelet="gmw", scales="log-piecewise",
 
     wavelet, scales_arr, scaletype, nv, dt, fs = _plan_cwt(
         x.shape, wavelet, scales, nv, fs)
+    check_ssqueezing_args(squeezing, maprange, wavelet=wavelet,
+                          transform="cwt")
+    if ((maprange == "maximal" or isinstance(maprange, tuple)) and
+            scaletype == "log-piecewise"):
+        # same guard as the unsharded ssqueeze (ops/ssqueeze.py:333-337)
+        raise ValueError("can't have `ssq_scaletype = log-piecewise` or "
+                         f"tuple with `maprange = 'maximal'` (got "
+                         f"{maprange})")
     if halo is None:
         halo = default_cwt_halo(wavelet, float(scales_arr.max()))
-    H = int(min(halo, S - 1))
+    H = _clip_halo(halo, S)
 
     # global ssq planning (reference: ssqueezing.py:124-188)
     ssq_freqs = compute_associated_frequencies(
@@ -467,9 +505,10 @@ def chunked_ssq_cwt(x, mesh: Mesh, wavelet="gmw", scales="log-piecewise",
 
     def shard_fn(xs):
         Wx, dWx = core(xs)
-        Tx = _reassign_local(Wx, dWx, const_j, gamma_j, float(gamma),
-                             Sfs_j, params, params_host, mode=mode,
-                             flipud=flipud, transform="cwt", nf=nf)
+        Tx = _reassign_local(_squeeze_Wx(squeezing, Wx), dWx, const_j,
+                             gamma_j, float(gamma), Sfs_j, params,
+                             params_host, mode=mode, flipud=flipud,
+                             transform="cwt", nf=nf)
         return Tx, Wx
 
     in_spec, out_spec = _specs(x.ndim, x.ndim + 1, axis_name,
@@ -486,9 +525,9 @@ def chunked_ssq_stft(x, mesh: Mesh, window=None, n_fft=None, win_len=None,
                      batch_axis_name=None):
     """Time-sharded synchrosqueezed STFT (bit-exact STFT stage; column-local
     reassignment)."""
-    from ..ops.ssqueeze import reassign
-    from ..ops.ssq_stft import make_Sfs
+    from ..ops.ssqueeze import check_ssqueezing_args
 
+    check_ssqueezing_args(squeezing, transform="stft")
     x = jnp.asarray(x)
     N = x.shape[-1]
     _, fs, _ = process_fs_and_t(fs, None, N)
@@ -496,17 +535,21 @@ def chunked_ssq_stft(x, mesh: Mesh, window=None, n_fft=None, win_len=None,
     n_fft = int(n_fft or min(N // hop_len, 512))
     nf = n_fft // 2 + 1
 
+    # one dtype rule for the whole plan (a string/np/jnp dtype spelling
+    # must not silently change the frequency grid precision)
+    rdtype = (jnp.float64 if jnp.dtype(dtype) == jnp.float64
+              else jnp.float32)
+    # row grid == make_Sfs(Sx, fs) of the unsharded path
     Sfs = np.linspace(0, 0.5 * fs, nf,
-                      dtype="float64" if dtype == "float64" else "float32")
+                      dtype=np.float64 if rdtype == jnp.float64
+                      else np.float32)
     const_arr_stft, mode, params_host = plan_reassignment(Sfs, nf, False,
                                                           transform="stft")
     params = {k: jnp.asarray(v) for k, v in params_host.items()}
     const = float(const_arr_stft[0])
-    rdtype = jnp.float64 if dtype in ("float64", jnp.float64) else jnp.float32
     if gamma is None:
         gamma = 10 * (EPS64 if rdtype == jnp.float64 else EPS32)
 
-    n_shards = mesh.shape[axis_name]
     Sx, dSx = chunked_stft(x, mesh, window=window, n_fft=n_fft,
                            win_len=win_len, hop_len=hop_len, fs=fs,
                            modulated=True, derivative=True, dtype=dtype,
@@ -519,8 +562,9 @@ def chunked_ssq_stft(x, mesh: Mesh, window=None, n_fft=None, win_len=None,
     Sfs_j = jnp.asarray(Sfs, rdtype)
 
     def squeeze_fn(Sx_l, dSx_l):
-        return _reassign_local(Sx_l, dSx_l, const_j, gamma_j, float(gamma),
-                               Sfs_j, params, params_host, mode=mode,
+        return _reassign_local(_squeeze_Wx(squeezing, Sx_l), dSx_l,
+                               const_j, gamma_j, float(gamma), Sfs_j,
+                               params, params_host, mode=mode,
                                flipud=flipud, transform="stft", nf=nf)
 
     in_spec, out_spec = _specs(Sx.ndim, Sx.ndim, axis_name, batch_axis_name)
@@ -568,6 +612,14 @@ def chunked_istft(Sx, mesh: Mesh, window=None, n_fft=None, win_len=None,
     n_frames = Sx.shape[-1]
     hop = int(hop_len)
     N = int(N or hop * n_frames)
+    if N != hop * n_frames:
+        # the shard decomposition assigns each shard exactly S*hop output
+        # samples; a ragged N would mis-size the sharded window_norm and
+        # fail deep inside shard_map
+        raise ValueError(
+            f"chunked_istft requires N == hop_len * n_frames "
+            f"(= {hop * n_frames}); got N={N}. For a ragged tail use the "
+            "unsharded ops.stft.istft, or trim the result.")
     n_shards = mesh.shape[axis_name]
     _check_divisible(n_frames, n_shards, "frame count")
     S = n_frames // n_shards

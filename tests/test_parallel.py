@@ -393,3 +393,55 @@ def test_chunked_ssq_pallas_kernel_under_shard_map(mesh):
     assert np.allclose(np.asarray(Wc1), np.asarray(Wc0))
     barc = 5e-6 * np.abs(np.asarray(Tc0)).max()
     assert np.allclose(np.asarray(Tc1), np.asarray(Tc0), atol=barc)
+
+
+def test_chunked_squeezing_modes_match_unsharded(mesh):
+    """squeezing='lebesgue'/'abs' on the chunked ssq transforms matches
+    the unsharded transforms (was silently 'sum' — code-review r3)."""
+    N = 1024
+    t = np.arange(N) / 1000.0
+    x = np.cos(2 * np.pi * 100.0 * t)
+
+    for sq in ("lebesgue", "abs"):
+        Tx_ref, *_ = ssq_stft(x, n_fft=128, fs=1000.0, squeezing=sq)
+        Tx, _, _, _ = chunked_ssq_stft(x, mesh, n_fft=128, fs=1000.0,
+                                       squeezing=sq)
+        bar = 5e-6 * np.abs(np.asarray(Tx_ref)).max()
+        assert np.allclose(np.asarray(Tx), np.asarray(Tx_ref),
+                           atol=bar), ("stft", sq)
+
+    # 'abs' phases derive from |Wx| (reference ssqueeze_fast semantics):
+    # near-gamma cells bin-flip under the hybrid path's ~1e-5 rounding,
+    # so compare with a generous explicit gamma (stable binning) and on
+    # interior row marginals
+    g = 1e-3
+    Tc_ref, *_ = ssq_cwt(x, fs=1000.0, nv=16, squeezing="abs", gamma=g)
+    Tc, _, _, _ = chunked_ssq_cwt(x, mesh, fs=1000.0, nv=16,
+                                  squeezing="abs", gamma=g)
+    Tc_sum, _, _, _ = chunked_ssq_cwt(x, mesh, fs=1000.0, nv=16,
+                                      squeezing="sum", gamma=g)
+    m = np.abs(np.asarray(Tc))[:, 128:-128].sum(axis=1)
+    m_ref = np.abs(np.asarray(Tc_ref))[:, 128:-128].sum(axis=1)
+    # noise-floor large-scale rows carry ~1e-2-of-max deficits at this
+    # tiny sharded config for EVERY squeezing mode (measured 2.6e-3 for
+    # 'sum'); the bar checks 'abs' tracks the unsharded 'abs' as well as
+    # 'sum' tracks unsharded 'sum'
+    assert np.abs(m - m_ref).max() < 2e-2 * m_ref.max()
+    assert not np.allclose(np.asarray(Tc), np.asarray(Tc_sum),
+                           atol=1e-8 * np.abs(np.asarray(Tc_sum)).max())
+
+    import pytest
+    with pytest.raises(Exception):
+        chunked_ssq_cwt(x, mesh, fs=1000.0, squeezing="bogus")
+    with pytest.raises(ValueError, match="maximal"):
+        chunked_ssq_cwt(x, mesh, fs=1000.0, maprange="maximal")
+
+
+def test_chunked_istft_ragged_N_rejected(mesh):
+    """N != hop*n_frames fails loudly with guidance, not a shard_map
+    shape error (code-review r3)."""
+    import pytest
+    from ssqueeze_rs_tpu.parallel import chunked_istft
+    Sx = jnp.zeros((65, 128), dtype=jnp.complex128)
+    with pytest.raises(ValueError, match="hop_len \\* n_frames"):
+        chunked_istft(Sx, mesh, n_fft=128, hop_len=2, N=255)
