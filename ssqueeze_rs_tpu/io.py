@@ -29,12 +29,17 @@ def have_pyarrow() -> bool:
 
 
 def _reflect_indices(start: int, stop: int, N: int) -> np.ndarray:
-    """Absolute sample indices for [start, stop) with reflect boundary
-    (same mapping as parallel.pipeline._chunk_iter_array)."""
+    """Absolute sample indices for [start, stop) with reflect boundary —
+    REPEATED reflection for halos wider than the recording, matching
+    np.pad(mode='reflect') / the offline transforms' padsignal (a single
+    abs/clamp degraded to edge-replication there). Shared by
+    parallel.pipeline._chunk_iter_array."""
     idx = np.arange(start, stop)
-    idx = np.abs(idx)
-    idx = np.where(idx >= N, 2 * N - 2 - idx, idx)
-    return np.clip(idx, 0, N - 1)
+    if N == 1:
+        return np.zeros_like(idx)
+    period = 2 * (N - 1)
+    idx = np.abs(idx) % period
+    return np.where(idx >= N, period - idx, idx)
 
 
 class ParquetRecording:
@@ -88,9 +93,8 @@ class ParquetRecording:
         reference's map_overlap, tests/stft_test.py:262-269)."""
         N = self.n_samples
         lo, hi = start - halo_left, start + chunk_len + halo_right
-        core = self._read_range(max(0, lo), min(N, hi))
         if lo >= 0 and hi <= N:
-            return core
+            return self._read_range(lo, hi)
         idx = _reflect_indices(lo, hi, N)
         a = int(idx.min())
         data = self._read_range(a, int(idx.max()) + 1)

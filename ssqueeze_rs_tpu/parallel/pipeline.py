@@ -28,14 +28,12 @@ __all__ = ["process_recording", "process_stft", "process_cwt",
 
 def _chunk_iter_array(x, chunk_len, halo):
     """Reflect-padded halo chunks from an in-memory (C, N) array."""
+    from ..io import _reflect_indices      # one reflect-index mapping
     C, N = x.shape
     start = 0
     while start < N:
         cl = min(chunk_len, N - start)
-        idx = np.arange(start - halo, start + cl + halo)
-        idx = np.abs(idx)                      # reflect left
-        idx = np.where(idx >= N, 2 * N - 2 - idx, idx)
-        idx = np.clip(idx, 0, N - 1)
+        idx = _reflect_indices(start - halo, start + cl + halo, N)
         yield start, cl, x[:, idx]
         start += chunk_len
 

@@ -43,7 +43,16 @@ class TransformServer:
         self.buckets = tuple(sorted(int(b) for b in buckets))
         self.dtype = dtype
         self.kw = dict(kw)
-        self._fns = {}          # bucket -> jitted callable
+        if self.kw.get("rpadded"):
+            # rpadded outputs keep the internal pad columns; the server's
+            # contract is bucket-padded-then-trimmed SIGNAL columns, and
+            # the trim arithmetic would silently keep pad regions
+            raise ValueError("rpadded=True is unsupported in "
+                             "TransformServer (outputs are trimmed to "
+                             "request length); call the transform "
+                             "directly for raw padded output")
+        self._fn = None         # ONE jitted callable; jit caches per shape
+        self._meta = {}         # padded length -> host planning metadata
 
     def bucket_for(self, n: int) -> int:
         for b in self.buckets:
@@ -53,61 +62,66 @@ class TransformServer:
                          f"({self.buckets[-1]}); add a bigger bucket or "
                          "use parallel.process_recording")
 
-    def _build(self, bucket: int):
-        # one program per bucket: jit retraces per input SHAPE internally,
-        # so channel/batch count needs no separate key (a (bucket, n)
-        # key collided between __call__'s channels and batch()'s request
-        # count — ADVICE r2)
+    def _build(self):
+        # ONE jitted callable for every bucket/channel count: jit keys
+        # its executable cache on the traced input shape, so a per-bucket
+        # dict would only duplicate that cache (ADVICE r2 had the two key
+        # spaces collide). Host planning outputs (scales/ssq_freqs/Sfs)
+        # are stashed at TRACE time keyed by padded length — full float64
+        # host precision, zero device round-trips per request.
         import jax
-        import jax.numpy as jnp
         from .ops.stft import stft as _stft
         from .ops.cwt import cwt as _cwt
         from .ops.ssq_cwt import ssq_cwt as _ssq_cwt
         from .ops.ssq_stft import ssq_stft as _ssq_stft
 
         transform, dtype, kw = self.transform, self.dtype, self.kw
+        meta = self._meta
 
         @jax.jit
         def fn(xp):
+            b = xp.shape[-1]
             if transform == "stft":
-                S = _stft(xp, dtype=dtype, **kw)
-                return {"Sx": S}
+                return {"Sx": _stft(xp, dtype=dtype, **kw)}
             if transform == "cwt":
                 Wx, sc = _cwt(xp, kw.get("wavelet", "gmw"),
                               **{k: v for k, v in kw.items()
                                  if k != "wavelet"}, dtype=dtype)
-                return {"Wx": Wx, "scales": jnp.asarray(np.asarray(sc))}
+                meta[b] = {"scales": np.asarray(sc)}
+                return {"Wx": Wx}
             if transform == "ssq_cwt":
                 Tx, Wx, fr, sc = _ssq_cwt(
                     xp, kw.get("wavelet", "gmw"),
                     **{k: v for k, v in kw.items() if k != "wavelet"},
                     dtype=dtype)
-                return {"Tx": Tx, "Wx": Wx,
-                        "ssq_freqs": jnp.asarray(np.asarray(fr)),
-                        "scales": jnp.asarray(np.asarray(sc))}
+                meta[b] = {"ssq_freqs": np.asarray(fr),
+                           "scales": np.asarray(sc)}
+                return {"Tx": Tx, "Wx": Wx}
             Tx, Sx, fr, Sfs = _ssq_stft(xp, dtype=dtype, **kw)
-            return {"Tx": Tx, "Sx": Sx,
-                    "ssq_freqs": jnp.asarray(np.asarray(fr)),
-                    "Sfs": jnp.asarray(np.asarray(Sfs))}
+            meta[b] = {"ssq_freqs": np.asarray(fr), "Sfs": np.asarray(Sfs)}
+            return {"Tx": Tx, "Sx": Sx}
 
         return fn
 
+    def _ensure_fn(self):
+        if self._fn is None:
+            self._fn = self._build()
+        return self._fn
+
     @property
     def n_compiled(self) -> int:
-        # compiled PROGRAMS (bucket x input-shape), not bucket entries:
-        # each bucket's jit caches one executable per traced shape
-        return sum(f._cache_size() for f in self._fns.values())
+        # compiled PROGRAMS (one per traced input shape)
+        return self._fn._cache_size() if self._fn is not None else 0
 
     def warmup(self, channels=(1,)):
         """Precompile every (bucket, channels) program at startup so no
         request ever pays compile latency."""
         import jax.numpy as jnp
+        fn = self._ensure_fn()
         for c in channels:
             for b in self.buckets:
-                if b not in self._fns:
-                    self._fns[b] = self._build(b)
                 x = jnp.zeros((int(c), b), dtype=self.dtype)
-                for v in self._fns[b](x).values():
+                for v in fn(x).values():
                     v.block_until_ready()
         return self
 
@@ -121,22 +135,19 @@ class TransformServer:
         x = np.atleast_2d(x)
         C, N = x.shape
         b = self.bucket_for(N)
-        if b not in self._fns:
-            self._fns[b] = self._build(b)
+        fn = self._ensure_fn()
         # reflect-pad the request up to the bucket capacity
         pad = b - N
         xp = np.pad(x, ((0, 0), (0, pad)), mode="reflect") if pad else x
-        out = self._fns[b](jnp.asarray(xp, dtype=self.dtype))
+        out = fn(jnp.asarray(xp, dtype=self.dtype))
 
         res = {}
         for k, v in out.items():
-            if k in ("Tx", "Wx", "Sx"):
-                vr = np.asarray(v.real)
-                vi = np.asarray(v.imag)
-                a = (vr + 1j * vi)[..., : self._out_cols(k, N, b, v)]
-                res[k] = a[0] if squeeze else a
-            else:
-                res[k] = np.asarray(v)
+            vr = np.asarray(v.real)
+            vi = np.asarray(v.imag)
+            a = (vr + 1j * vi)[..., : self._out_cols(k, N, b, v)]
+            res[k] = a[0] if squeeze else a
+        res.update(self._meta.get(b, {}))
         return res
 
     def batch(self, xs):
@@ -167,27 +178,23 @@ class TransformServer:
         # exists to prevent
         n = len(xs)
         nb = 1 << (n - 1).bit_length()
-        if b not in self._fns:
-            self._fns[b] = self._build(b)
+        fn = self._ensure_fn()
         padded = [np.pad(x, (0, b - len(x)), mode="reflect")
                   if len(x) < b else x for x in xs]
         padded += [padded[-1]] * (nb - n)
         X = np.stack(padded)
-        out = self._fns[b](jnp.asarray(X, dtype=self.dtype))
+        out = fn(jnp.asarray(X, dtype=self.dtype))
 
         results = [dict() for _ in xs]
         for k, v in out.items():
-            if k in ("Tx", "Wx", "Sx"):
-                vr = np.asarray(v.real)
-                vi = np.asarray(v.imag)
-                a = vr + 1j * vi
-                for i, x in enumerate(xs):
-                    cols = self._out_cols(k, len(x), b, v)
-                    results[i][k] = a[i, ..., :cols]
-            else:
-                w = np.asarray(v)
-                for r in results:
-                    r[k] = w
+            vr = np.asarray(v.real)
+            vi = np.asarray(v.imag)
+            a = vr + 1j * vi
+            for i, x in enumerate(xs):
+                cols = self._out_cols(k, len(x), b, v)
+                results[i][k] = a[i, ..., :cols]
+        for r in results:
+            r.update(self._meta.get(b, {}))
         return results
 
     def _out_cols(self, name, N, bucket, v):

@@ -16,6 +16,7 @@ import numpy as np
 from scipy.special import gammaln as gammaln_fn, gamma as gamma_fn
 
 from .base import register_family
+from ..utils.common import assert_is_one_of
 
 pi = np.pi
 
@@ -213,69 +214,100 @@ def morsewave(N: int, freqs, gamma: float = 3, beta: float = 60, K: int = 1,
     Host-side generator matching reference semantics
     (old/ssqueezepy/_gmw.py:398-552). Returns (psih, psi), each of shape
     (N, len(freqs), K) with length-1 dims squeezed.
+
+    Quirk preserved: `beta=0` raises ZeroDivisionError (peak frequency is
+    0) — the reference documents a beta-0 lowpass but its own
+    `_morsewave1` crashes identically (`fact = f / fo`, _gmw.py:487).
     """
+    if gamma <= 0:
+        raise ValueError(f"`gamma` must be positive (got {gamma})")
+    if beta < 0:
+        raise ValueError(f"`beta` must be non-negative (got {beta})")
+    assert_is_one_of(norm, "norm", ("bandpass", "energy"))
     if not isinstance(freqs, (list, tuple, np.ndarray)):
         freqs = [freqs]
     psi = np.zeros((N, len(freqs), K), dtype="complex128")
     psif = np.zeros((N, len(freqs), K))
 
     for n, f in enumerate(freqs):
-        X, x = _morsewave1(N, abs(f), gamma, beta, K, norm)
+        X, x = _morse_family(N, abs(f), gamma, beta, K, norm)
         psif[:, n:n + 1, :], psi[:, n:n + 1, :] = X, x
         if f < 0:
+            # negative frequency: conjugate time wavelet / mirror spectrum
             psi[:, n:n + 1, :] = psi[:, n, :].conj()[:, None]
             psif[1:, n:n + 1, :] = np.flip(psif[1:, n, :], axis=0)[:, None]
 
     return psif.squeeze(), psi.squeeze()
 
 
-def _morsewave1(N, f, gamma, beta, K, norm):
+def _morse_order_coeffs(gamma, beta, K, norm, fact):
+    """Normalization coefficient per order k = 0..K-1 (vectorized)."""
+    if norm == "energy":
+        return np.array([np.sqrt(1.0 / fact) *
+                         morseafun(gamma, beta, k + 1, norm="energy")
+                         for k in range(K)])
+    if beta == 0:
+        return np.ones(K)
+    r = (2 * beta + 1) / gamma
+    ks = np.arange(K, dtype=np.float64)
+    return np.sqrt(np.exp(gammaln_fn(r) + gammaln_fn(ks + 1) -
+                          gammaln_fn(ks + r)))
+
+
+def _morse_family(N, f, gamma, beta, K, norm):
+    """Spectrum + centered time wavelets of the first K orders at peak
+    frequency `f`. The spectrum is analytic: only bins 0..N//2 are
+    nonzero, so everything is computed on the half grid and placed into
+    a zero full-length array (the reference computes full-length and
+    masks, _gmw.py:485-552 — same values, different organization)."""
     fo = morsefreq(gamma, beta)
     fact = f / fo
-    w = 2 * pi * np.linspace(0, 1, N, endpoint=False) / fact
-    w = w.reshape(-1, 1)
+    nhalf = N // 2 + 1
+    # digital radian grid, peak moved to bin index N*f/(2*pi*fact)
+    w = (2 * pi * np.linspace(0, 1, N, endpoint=False)[:nhalf] / fact)
 
     with np.errstate(divide="ignore", invalid="ignore"):
-        if norm == "energy":
-            psizero = (np.exp(-(w**gamma)) if beta == 0 else
-                       np.exp(beta * np.log(w) - w**gamma))
+        if beta == 0:
+            envelope = np.exp(-(w ** gamma))
+            base = envelope if norm == "energy" else 2 * envelope
+        elif norm == "energy":
+            base = np.exp(beta * np.log(w) - w ** gamma)
         else:
-            psizero = (2 * np.exp(-(w**gamma)) if beta == 0 else
-                       2 * np.exp(-beta * np.log(fo) + fo**gamma
-                                  + beta * np.log(w) - w**gamma))
+            # log-domain form, cancels the wc**beta blowup
+            base = 2 * np.exp(-beta * np.log(fo) + fo ** gamma
+                              + beta * np.log(w) - w ** gamma)
     if beta == 0:
-        psizero[0] /= 2
-    psizero[np.isnan(psizero) | np.isinf(psizero)] = 0.0
+        base[0] /= 2            # unit-step halving for the lowpass
+    base[~np.isfinite(base)] = 0.0
 
-    r = (2 * beta + 1) / gamma
-    c = r - 1
-    L = np.zeros(w.shape)
-    psif = np.zeros((len(psizero), 1, K))
-    for k in range(K):
-        if norm == "energy":
-            coeff = np.sqrt(1.0 / fact) * morseafun(gamma, beta, k + 1,
-                                                    norm="energy")
-        else:
-            coeff = (1.0 if beta == 0 else
-                     np.sqrt(np.exp(gammaln_fn(r) + gammaln_fn(k + 1) -
-                                    gammaln_fn(k + r))))
-        L[:N // 2 + 1] = laguerre(2 * w[:N // 2 + 1] ** gamma, k, c
-                                  ).reshape(-1, 1)
-        psif[:, :, k] = coeff * psizero * L
-    psif[np.isinf(psif)] = 0.0
+    coeffs = _morse_order_coeffs(gamma, beta, K, norm, fact)
+    c = (2 * beta + 1) / gamma - 1
+    lag = np.stack([laguerre(2 * (w ** gamma), k, c) for k in range(K)],
+                   axis=-1)                                   # (nhalf, K)
+    half = coeffs * base[:, None] * lag
+    half[np.isinf(half)] = 0.0
 
-    Xr = psif.copy()
-    Xr *= (-1) ** np.arange(len(Xr)).reshape(-1, 1, 1)
-    if len(Xr) % 2 == 0:
-        Xr[len(Xr) // 2] /= 2
-    x = np.fft.ifft(Xr, axis=0)
-    return psif, x
+    psif = np.zeros((N, 1, K))
+    psif[:nhalf, 0, :] = half
+
+    # time domain: alternate spectral signs (= centering shift by N/2),
+    # halve the even-N Nyquist bin, invert
+    spec = psif.copy()
+    spec[1::2] = -spec[1::2]
+    if N % 2 == 0:
+        spec[N // 2] /= 2
+    return psif, np.fft.ifft(spec, axis=0)
 
 
 # -- factory / array API (reference parity: _gmw.py:22-264) -------------------
 def gmw(gamma=3.0, beta=60.0, norm="bandpass", order=0,
         centered_scale=False, dtype="float64"):
     """`lambda w: psih(w)` factory (reference: _gmw.py:22-133)."""
+    if norm == "energy" and str(np.dtype(dtype)) == "float32":
+        # reference guard (_gmw.py:122-124): wp**beta overflows f32 ->
+        # inf*0 NaNs across entire Wx rows
+        raise ValueError("`norm='energy'` w/ `dtype='float32'` is "
+                         "unsupported; use 'float64' instead.")
     fn = _build_gmw(dict(gamma=gamma, beta=beta, norm=norm, order=order,
                          centered_scale=centered_scale))
     return lambda w: fn(np.atleast_1d(np.asarray(w, dtype)), np)

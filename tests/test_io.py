@@ -87,3 +87,15 @@ def test_parquet_to_raw_roundtrip(parquet_file, tmp_path):
                                                        N - 1)])
             chunks = list(rec.iter_chunks_prefetch(1500, 64))
             assert sum(c.shape[-1] - 128 for _, c in chunks) == N
+
+
+def test_reflect_indices_repeated_reflection():
+    """Halos wider than the recording repeat-reflect like np.pad
+    (was edge-replication — code-review r3)."""
+    from ssqueeze_rs_tpu.io import _reflect_indices
+    for N in (2, 3, 5, 11):
+        x = np.arange(N, dtype=float)
+        for halo in (1, N - 1, N, 2 * N + 3):
+            want = np.pad(x, (halo, halo), mode="reflect")
+            idx = _reflect_indices(-halo, N + halo, N)
+            assert np.array_equal(x[idx], want), (N, halo)

@@ -116,3 +116,25 @@ def test_server_dynamic_batching():
         assert np.array_equal(got["ssq_freqs"], one["ssq_freqs"])
     with pytest.raises(ValueError):
         srv.batch([rng.standard_normal((2, 100))])
+
+
+def test_server_metadata_host_precision_and_rpadded_guard():
+    """scales/ssq_freqs come back as float64 host planning outputs (no
+    device round-trip downcast), and rpadded=True is rejected
+    (code-review r3)."""
+    import pytest
+    from ssqueeze_rs_tpu import ssq_cwt
+    from ssqueeze_rs_tpu.serve import TransformServer
+
+    srv = TransformServer("ssq_cwt", buckets=(1024,), fs=1000.0, nv=16)
+    x = np.random.default_rng(0).standard_normal(1000)
+    out = srv(x)
+    assert out["scales"].dtype == np.float64
+    assert out["ssq_freqs"].dtype == np.float64
+    _, _, fr_ref, sc_ref = ssq_cwt(np.pad(x, (0, 24), mode="reflect"),
+                                   fs=1000.0, nv=16)
+    assert np.array_equal(out["scales"], np.asarray(sc_ref))
+    assert np.array_equal(out["ssq_freqs"], np.asarray(fr_ref))
+
+    with pytest.raises(ValueError, match="rpadded"):
+        TransformServer("cwt", rpadded=True)

@@ -305,3 +305,24 @@ def test_psifn_nyquist_halving_and_psih_defaults():
     P = g.Psih(N=512)
     assert P.shape == (512,)
     assert np.allclose(P, g.sample(1.0, 512, nohalf=True))
+
+
+def test_gmw_morsewave_validation():
+    """Reference guards (code-review r3): energy+float32 ValueError
+    (_gmw.py:122-124), morsewave arg checks (_gmw.py:748-773)."""
+    import pytest
+    from ssqueeze_rs_tpu.wavelets import gmw, morsewave
+
+    with pytest.raises(ValueError, match="float32"):
+        gmw(3, 60, "energy", dtype="float32")
+    gmw(3, 60, "energy", dtype="float64")        # fine
+
+    with pytest.raises(ValueError, match="gamma"):
+        morsewave(256, 1.0, gamma=0, beta=60)
+    with pytest.raises(ValueError, match="beta"):
+        morsewave(256, 1.0, gamma=3, beta=-2)
+    with pytest.raises(ValueError, match="norm"):
+        morsewave(256, 1.0, gamma=3, beta=60, norm="typo")
+    # beta=0: reference's own _morsewave1 crashes identically (quirk kept)
+    with pytest.raises(ZeroDivisionError):
+        morsewave(256, 1.0, gamma=3, beta=0)
