@@ -95,11 +95,14 @@ int ssq_read_chunk_f32(MappedSignal* h, int64_t start, int64_t chunk_len,
         float* dst = out + c * ext;
         for (int64_t i = 0; i < ext; ++i) {
             int64_t src = start - halo_left + i;
-            // reflect (no edge repeat): ..3,2,1,0 -> 1,2,3..
-            if (src < 0) src = -src;
-            if (src >= N) src = 2 * N - 2 - src;
-            if (src < 0) src = 0;           // degenerate tiny-N guard
-            if (src >= N) src = N - 1;
+            // reflect (no edge repeat), REPEATED for halos wider than
+            // the recording — np.pad(mode='reflect') semantics, same
+            // mapping as io._reflect_indices
+            if (N == 1) { dst[i] = ch[0]; continue; }
+            const int64_t period = 2 * (N - 1);
+            src = src < 0 ? -src : src;
+            src %= period;
+            if (src >= N) src = period - src;
             dst[i] = ch[src];
         }
     }

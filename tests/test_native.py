@@ -119,3 +119,21 @@ def test_pipeline_prefetch_matches_nonprefetch(tmp_path):
     r2, m2 = process_recording(path, prefetch=False, **kw)
     assert r1.shape == r2.shape
     assert np.array_equal(r1, r2)
+
+
+def test_native_wide_halo_repeated_reflection(tmp_path):
+    """Halos wider than the recording repeat-reflect like np.pad — the
+    same contract as io._reflect_indices (code-review r3)."""
+    from ssqueeze_rs_tpu.native import MappedRecording, available
+    if not available():
+        import pytest
+        pytest.skip("native lib not built")
+    N, C = 5, 2
+    x = np.arange(C * N, dtype=np.float32).reshape(C, N)
+    p = tmp_path / "tiny.raw"
+    x.tofile(p)
+    with MappedRecording(str(p), n_channels=C) as rec:
+        halo = 2 * N + 3
+        got = rec.read_chunk(0, N, halo_left=halo, halo_right=halo)
+        want = np.pad(x, ((0, 0), (halo, halo)), mode="reflect")
+        assert np.array_equal(got, want)
