@@ -79,6 +79,10 @@ def phase_cwt_num(Wx, dt, difforder=4, gamma=None):
              - 8 * Wxr[..., 1:-3] + Wxr[..., :-4]) / (12 * dt)
 
     w = jnp.real(-1j * w / Wx) / (2 * np.pi)
-    gamma = gamma or 10 * (EPS64 if Wx.dtype == jnp.complex128 else EPS32)
+    # reference idiom is falsy `gamma or default` (gamma=0.0 -> default,
+    # kept for parity) — but only for concrete scalars: a traced gamma
+    # must not hit a Python bool
+    if gamma is None or (isinstance(gamma, (int, float)) and not gamma):
+        gamma = 10 * (EPS64 if Wx.dtype == jnp.complex128 else EPS32)
     w = jnp.where(jnp.abs(Wx) < gamma, jnp.inf, w)
     return jnp.abs(w)

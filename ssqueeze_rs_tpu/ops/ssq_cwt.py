@@ -64,18 +64,16 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
     # higher-order GMW path: averaged CWT, derivative via trig differentiation
     if isinstance(order, (tuple, list, range)) or order > 0:
         from .cwt import cwt_higher_order
-        from ..utils.fft import xifn
         _, n1, _ = p2up(N)
         average = isinstance(order, (tuple, list, range))
         Wxp, scales_arr = cwt_higher_order(
             x, wavelet=wavelet, order=order, average=average, scales=scales,
             fs=fs, nv=nv, l1_norm=True, derivative=False, padtype=padtype,
             rpadded=True, nan_checks=nan_checks, dtype=dtype)
-        # trigdiff on the padded transform (reference: utils/common.py:161-245)
-        M = Wxp.shape[-1]
-        xi = xifn(1, M, xp=jnp).astype(Wxp.real.dtype)
-        dWx = jnp.fft.ifft(jnp.fft.fft(Wxp, axis=-1) * (1j * xi * fs),
-                           axis=-1)[..., n1:n1 + N]
+        # trigdiff on the padded transform (reference: _ssq_cwt.py:238,
+        # utils/common.py:161-245) — the shared ops/diff.py helper
+        from .diff import trigdiff
+        dWx = trigdiff(Wxp, fs, rpadded=True, N=N, n1=n1)
         Wx = Wxp[..., n1:n1 + N]
         scales = np.asarray(scales_arr).reshape(-1, 1)
         cwt_scaletype = process_scales(scales, N, wavelet, nv=nv,
@@ -139,6 +137,15 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
         elif difftype == "phase":
             w = phase_cwt(Wx, None, "phase", gamma)
         else:  # numeric: Wx is rpadded; trim to N+8 window around signal
+            if padtype is None or (isinstance(order, (tuple, list, range))
+                                   or order > 0):
+                # the N+8 window needs a p2up-PADDED first-order Wx; the
+                # reference hits the same clamped slice silently and
+                # returns truncated, misaligned output
+                # (_ssq_cwt.py:230-262 + 303-306)
+                raise ValueError(
+                    "difftype='numeric' requires padtype != None and "
+                    "order=0 (the phase window reads the padded CWT)")
             _, n1, _ = p2up(N)
             Wx = Wx[..., (n1 - 4):(n1 + N + 4)]
             w = phase_cwt_num(Wx, dt, difforder, gamma)

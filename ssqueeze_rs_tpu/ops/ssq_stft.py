@@ -69,7 +69,7 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
     if planar:
         # planes from the MXU matmul feed the Pallas kernel directly —
         # dSx is never materialized as complex64
-        sxp, dsp = stft(x, window, n_fft=n_fft, win_len=win_len,
+        sxp, dsp = stft(x, window, n_fft=n_fft_eff, win_len=win_len,
                         hop_len=hop_len, fs=fs, padtype=padtype,
                         modulated=modulated, derivative=True, dtype=dtype,
                         planar_out=True)
@@ -78,7 +78,7 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
         dSx = jax.lax.complex(*dsp) if get_dWx else dsp
     else:
         sxp = None
-        Sx, dSx = stft(x, window, n_fft=n_fft, win_len=win_len,
+        Sx, dSx = stft(x, window, n_fft=n_fft_eff, win_len=win_len,
                        hop_len=hop_len, fs=fs, padtype=padtype,
                        modulated=modulated, derivative=True, dtype=dtype)
         Sx, dSx = jax.lax.optimization_barrier((Sx, dSx))
@@ -134,7 +134,8 @@ def _ssq_stft_mega(x, window, n_fft, win_len, fs, modulated, padtype,
         [F1.real, F1.imag, F2.real, F2.imag], axis=1).T).astype(np.float32)
 
     nf = n_fft // 2 + 1
-    Sfs = np.linspace(0, 0.5 * fs, nf, dtype=np.float32)
+    # same grid rule as make_Sfs (planar mega path is f32)
+    Sfs = make_Sfs(np.empty((nf, 0), dtype=np.complex64), fs)
     const_arr, mode, params = plan_reassignment(Sfs, nf, False,
                                                 transform="stft")
     const_arr = np.broadcast_to(np.asarray(const_arr, np.float32), (nf,))

@@ -45,7 +45,6 @@ from ..wavelets.props import center_frequency
 __all__ = ["plan_reassignment", "ssqueeze", "reassign", "compute_associated_frequencies",
            "ssq_freqrange"]
 
-_TWO_PI = 6.283185307179586
 
 
 # -- binning parameter planning (host) ------------------------------------------
@@ -135,10 +134,8 @@ def reassign(Wx, w_or_dWx, const_arr, gamma, Sfs, params, *, mode, flipud,
     omax = nf - 1
 
     if fused:
-        dWx = w_or_dWx
-        A, B = dWx.real, dWx.imag
-        C, D = Wx.real, Wx.imag
-        ratio = (B * C - A * D) / ((C**2 + D**2) * _TWO_PI)
+        from .phase import _imag_ratio_over_2pi
+        ratio = _imag_ratio_over_2pi(Wx, w_or_dWx)
         if transform == "stft":
             w = jnp.abs(Sfs[:, None] - ratio)
         else:
@@ -309,6 +306,12 @@ def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
     """
     if w is None and (dWx is None or gamma is None):
         raise ValueError("if `w` is None, `dWx` and `gamma` must not be.")
+    if isinstance(w, np.ndarray) and (w < 0).any():
+        # reference guard (ssqueezing.py): log2 of a negative phase value
+        # would NaN-corrupt bin indices silently. Checked for concrete
+        # host arrays only — traced/device `w` comes from our own
+        # phase transforms, which emit |.| (non-negative) by design.
+        raise ValueError("found negatives in `w`")
     check_ssqueezing_args(squeezing, maprange, transform=transform,
                           wavelet=wavelet)
     if scales is None and transform == "cwt":
@@ -350,6 +353,11 @@ def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
     if isinstance(squeezing, FunctionType):
         Wx = squeezing(Wx)
     elif squeezing == "lebesgue":
+        # documented divergence: normalize by the SCALE count (shape[-2])
+        # for any batch shape. The reference's `ones/len(Wx)` divides by
+        # the row count of whatever 2D slice it loops (ssqueezing.py:199),
+        # which for its 3D batch loop is still n_scales — ours keeps
+        # batched == per-signal results (verified in tests)
         Wx = jnp.ones(Wx.shape, dtype=Wx.dtype) / Wx.shape[-2]
     elif squeezing == "abs":
         Wx = jnp.abs(Wx).astype(Wx.dtype)

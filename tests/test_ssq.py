@@ -143,3 +143,30 @@ def test_ssq_cwt_maprange_modes():
         Tx, *_ = ssq_cwt(x, WAVELET, scales=scales, t=ts, maprange=maprange,
                          dtype="float64")
         assert np.isfinite(np.asarray(Tx)).all(), maprange
+
+
+def test_ssq_cwt_numeric_requires_padded_first_order():
+    """difftype='numeric' with padtype=None or order>0 fails loudly (the
+    reference silently returns truncated output — code-review r3)."""
+    import pytest
+    x = np.random.default_rng(0).standard_normal(256)
+    with pytest.raises(ValueError, match="numeric"):
+        ssq_cwt(x, difftype="numeric", get_w=True, padtype=None)
+    with pytest.raises(ValueError, match="numeric"):
+        ssq_cwt(x, difftype="numeric", get_w=True, order=1)
+    # the supported combo still works and is exactly N wide
+    Tx, Wx, *_ = ssq_cwt(x, difftype="numeric", get_w=True)
+    assert Wx.shape[-1] == 256 and Tx.shape[-1] == 256
+
+
+def test_ssqueeze_rejects_negative_w():
+    """Reference guard: negatives in a caller-supplied `w` raise instead
+    of NaN-corrupting bin indices (code-review r3)."""
+    import pytest
+    from ssqueeze_rs_tpu import ssqueeze
+    Wx = np.ones((4, 16), dtype=np.complex128)
+    w = np.full((4, 16), 0.1)
+    w[2, 3] = -0.5
+    with pytest.raises(ValueError, match="negatives"):
+        ssqueeze(Wx, w, np.linspace(0.01, 0.5, 4), np.logspace(0, 1, 4),
+                 transform="cwt")
