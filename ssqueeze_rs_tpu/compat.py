@@ -47,11 +47,25 @@ def hello_from_bin() -> str:
 
 
 def _default_rust_scales(N, nv=32):
-    """Rust default: log grid 2 -> N/2, ceil(octaves*nv) points
-    (reference: rust/src/spectral/cwt.rs:461-489)."""
-    octaves = np.log2((N / 2) / 2)
-    na = int(np.ceil(octaves * nv))
-    return 2.0 * 2 ** (np.arange(na) / nv)
+    """Rust default: ENDPOINT-INCLUSIVE log grid 2 -> N/2 with
+    ceil(octaves*nv) points and step octaves/(num-1)
+    (reference: rust/src/spectral/cwt.rs:461-489) — not a fixed
+    1/nv-octave ladder; the last scale lands exactly on N/2."""
+    log_min, log_max = np.log2(2.0), np.log2(N * 0.5)
+    na = int(np.ceil((log_max - log_min) * nv))
+    if na <= 1:
+        return np.array([2.0])
+    step = (log_max - log_min) / (na - 1)
+    return 2.0 ** (log_min + np.arange(na) * step)
+
+
+def _np(a):
+    """Host fetch; complex comes back as separate planes (complex
+    device->host transfers raise UNIMPLEMENTED over the TPU relay —
+    CLAUDE.md / parallel/pipeline.py pattern)."""
+    if jnp.iscomplexobj(a):
+        return np.asarray(a.real) + 1j * np.asarray(a.imag)
+    return np.asarray(a)
 
 
 def stft(x, n_fft, hop_length, window, padtype="reflect"):
@@ -62,7 +76,7 @@ def stft(x, n_fft, hop_length, window, padtype="reflect"):
                         win_len=len(window), padtype=padtype,
                         modulated=False, dtype="float64")
     freqs = np.linspace(0, 0.5, n_fft // 2 + 1)
-    return np.asarray(Sx), freqs
+    return _np(Sx), freqs
 
 
 def ssq_stft(x, window, n_fft=None, win_len=None, hop_len=1, fs=1.0,
@@ -73,7 +87,7 @@ def ssq_stft(x, window, n_fft=None, win_len=None, hop_len=1, fs=1.0,
         x, window=window, n_fft=n_fft, win_len=win_len, hop_len=hop_len,
         fs=fs, padtype=padtype, squeezing=squeezing, gamma=gamma,
         dtype="float64")
-    return np.asarray(Tx), np.asarray(ssq_freqs)
+    return _np(Tx), np.asarray(ssq_freqs)
 
 
 def cwt(x, wavelet="gmw", scales=None, fs=None, t=None, nv=32, l1_norm=True,
@@ -88,11 +102,13 @@ def cwt(x, wavelet="gmw", scales=None, fs=None, t=None, nv=32, l1_norm=True,
     out = _cwt(x, wavelet, scales=np.asarray(scales, dtype=np.float64),
                fs=fs, t=t, nv=nv, l1_norm=l1_norm, derivative=derivative,
                padtype=padtype, rpadded=rpadded, dtype="float64")
+    # the Rust extension ALWAYS returns a 3-tuple — PyO3 maps the
+    # Option<dWx> to None (cwt.rs:135-143); mirror that exactly
     if derivative:
         Wx, scales_out, dWx = out
-        return np.asarray(Wx), np.asarray(scales_out), np.asarray(dWx)
+        return _np(Wx), np.asarray(scales_out), _np(dWx)
     Wx, scales_out = out
-    return np.asarray(Wx), np.asarray(scales_out)
+    return _np(Wx), np.asarray(scales_out), None
 
 
 # the Rust "SIMD" variant is algorithmically identical (cwt_simd.rs:52-150)
@@ -104,12 +120,14 @@ def ssq_cwt(x, wavelet="gmw", scales=None, fs=None, t=None, ssq_freqs=None,
             difftype="trig", gamma=None, vectorized=True, flipud=True):
     """(Tx, ssq_freqs) (reference: rust/src/spectral/ssq_cwt.rs:244-493)."""
     if scales is None:
-        scales = "log"
+        # same endpoint grid as the Rust ssq_cwt default
+        # (ssq_cwt.rs:299-325 inlines generate_log_scales)
+        scales = _default_rust_scales(np.asarray(x).shape[-1], nv)
     Tx, Wx, ssq_freqs_out, _ = _ssq_cwt(
         x, wavelet, scales=scales, nv=nv, fs=fs, t=t, ssq_freqs=ssq_freqs,
         padtype=padtype, squeezing=squeezing, maprange=maprange,
         difftype=difftype, gamma=gamma, flipud=flipud, dtype="float64")
-    return np.asarray(Tx), np.asarray(ssq_freqs_out)
+    return _np(Tx), np.asarray(ssq_freqs_out)
 
 
 def icwt(Wx, wavelet="gmw", scales=None, nv=None, one_int=True, x_len=None,
@@ -119,10 +137,10 @@ def icwt(Wx, wavelet="gmw", scales=None, nv=None, one_int=True, x_len=None,
     if scales is None:
         scales = _default_rust_scales(np.asarray(Wx).shape[-1],
                                       nv if nv else 32)
-    return np.asarray(_icwt(Wx, wavelet, scales=np.asarray(scales),
-                            nv=nv, one_int=one_int, x_len=x_len,
-                            x_mean=x_mean, padtype=padtype, rpadded=rpadded,
-                            l1_norm=l1_norm))
+    return _np(_icwt(Wx, wavelet, scales=np.asarray(scales),
+                     nv=nv, one_int=one_int, x_len=x_len,
+                     x_mean=x_mean, padtype=padtype, rpadded=rpadded,
+                     l1_norm=l1_norm))
 
 
 def pad_signal(x, padtype="reflect", padlength=None):

@@ -58,9 +58,16 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
                            os.environ.get("JAX_COORDINATOR_ADDRESS"))
     env_np = os.environ.get("JAX_NUM_PROCESSES")
     env_pid = os.environ.get("JAX_PROCESS_ID")
-    on_tpu_pod = jax.default_backend() == "tpu" and (
-        os.environ.get("TPU_WORKER_HOSTNAMES") or
-        os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    # pod detection from ENV ONLY: touching jax.default_backend() here
+    # would initialize the XLA backend, after which
+    # jax.distributed.initialize() raises ("must be called before any
+    # JAX calls that might initialize the backend"). Multi-host means
+    # MORE THAN ONE worker hostname (single-host TPU sessions — e.g. the
+    # axon relay — set TPU_WORKER_HOSTNAMES=localhost and need no
+    # distributed runtime).
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    on_tpu_pod = (len([w for w in workers.split(",") if w.strip()]) > 1 or
+                  bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")))
     if coordinator_address is None and not on_tpu_pod:
         return  # single-process run
     jax.distributed.initialize(

@@ -108,7 +108,14 @@ def process_recording(source, transform="ssq_cwt", fs=1.0, n_channels=None,
     if transform in ("stft", "ssq_stft"):
         n_fft_eff = int(n_fft or 512)
         halo_eff = int(halo if halo is not None else n_fft_eff)
-        halo_eff = (halo_eff // hop_len) * hop_len  # keep frame grid aligned
+        # keep the GLOBAL frame grid aligned: halo AND chunk starts must
+        # sit on hop multiples, else every chunk boundary shifts the
+        # frame grid by chunk_len % hop and adds spurious frames. Halo
+        # rounds UP (rounding down could drop the overlap to zero for
+        # hop > n_fft); chunk_len snaps down to the hop grid.
+        halo_eff = -(-halo_eff // hop_len) * hop_len
+        if chunk_len % hop_len:
+            chunk_len = max((chunk_len // hop_len) * hop_len, hop_len)
     else:
         ext_guess = min(chunk_len, N)
         wav = Wavelet.build(wavelet, l1_norm=kw.get("l1_norm", True))
@@ -178,6 +185,13 @@ def process_recording(source, transform="ssq_cwt", fs=1.0, n_channels=None,
             return (Tx.real, Tx.imag,
                     jnp.asarray(np.asarray(ssq_freqs)), None)
     elif transform == "cwt":
+        if kw.get("derivative"):
+            # the streamed output structure holds ONE array per chunk;
+            # a silent 3-tuple unpack crash here helped nobody
+            raise ValueError("process_recording(transform='cwt') does not "
+                             "stream the derivative; call ops.cwt per "
+                             "chunk for dWx")
+
         @partial(jax.jit, static_argnames=("cl",))
         def jfn(ch, cl):
             Wx, sc = cwt(ch, wavelet, scales=scales_arr, fs=fs, nv=None,

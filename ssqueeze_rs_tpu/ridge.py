@@ -86,7 +86,14 @@ def extract_ridges(Tf, scales, penalty=2.0, n_ridges=1, bw=15,
     ridge_extraction.py:11-146).
 
     Returns ridge_idxs [n_timeshifts x n_ridges]; with `get_params`, also
-    (ridge_f, ridge_e).
+    (ridge_f, ridge_e) — ridge i's energies are read AFTER ridges 0..i-1
+    zeroed their bands, like the reference (ridge_extraction.py:131-143).
+
+    Documented divergence: the +-bw zeroing clamps at row 0. The
+    reference's `energy[ridx-bw : ridx+bw]` numpy slice is EMPTY when
+    ridx < bw (negative start wraps past the stop), so it zeroes nothing
+    there and a later ridge can re-select the same low-row component;
+    the clamped mask zeroes rows 0..ridx+bw-1 as intended.
     """
     Tf = jnp.asarray(Tf)
     eps = EPS64 if Tf.dtype == jnp.complex128 else EPS32
@@ -103,5 +110,14 @@ def extract_ridges(Tf, scales, penalty=2.0, n_ridges=1, bw=15,
     n_t = ridge_idxs.shape[0]
     energy = np.abs(np.asarray(Tf)) ** 2
     ridge_f = scales_arr[ridge_idxs]
-    ridge_e = energy[ridge_idxs, np.arange(n_t)[:, None]]
+    # progressive zeroing: ridge i's energy is read from the array as
+    # zeroed by ridges 0..i-1 (reference order of operations)
+    ridge_e = np.empty_like(ridge_f)
+    rows = np.arange(energy.shape[0])[:, None]
+    tcols = np.arange(n_t)
+    for i in range(ridge_idxs.shape[1]):
+        ri = ridge_idxs[:, i]
+        ridge_e[:, i] = energy[ri, tcols]
+        mask = (rows >= ri[None, :] - bw) & (rows < ri[None, :] + bw)
+        energy = np.where(mask, 0.0, energy)
     return ridge_idxs, ridge_f, ridge_e

@@ -22,16 +22,22 @@ def test_stft_signature_and_freqs():
 def test_cwt_and_icwt_roundtrip():
     t = np.linspace(0, 10, 2048, endpoint=False)
     x = np.cos(2 * np.pi * 3 * np.exp(t / 3))
-    Wx, scales = _rs.cwt(x, "gmw", nv=32)
+    # Rust PyO3 contract: ALWAYS a 3-tuple, dWx None unless derivative
+    Wx, scales, dWx = _rs.cwt(x, "gmw", nv=32)
+    assert dWx is None
     assert Wx.shape[1] == len(x)
     assert len(scales) == Wx.shape[0]
-    # rust default grid: log, 2 -> N/2
+    # rust default grid: endpoint-inclusive log 2 -> N/2
+    # (cwt.rs:461-489: num = ceil(octaves*nv), step = octaves/(num-1))
     assert np.isclose(scales[0], 2.0)
+    assert np.isclose(scales[-1], len(x) / 2)
+    octaves = np.log2(len(x) / 4)
+    assert len(scales) == int(np.ceil(octaves * 32))
     xr = _rs.icwt(Wx, "gmw", scales=scales)
     assert mad_rms(x, xr) < 0.2
 
     # cwt_simd is an alias
-    Wx2, _ = _rs.cwt_simd(x, "gmw", nv=32)
+    Wx2, _, _ = _rs.cwt_simd(x, "gmw", nv=32)
     assert np.allclose(Wx, Wx2)
 
 

@@ -178,3 +178,32 @@ def test_process_named_orchestration_parity():
     want = Wr[:, 16:64, 500:1500]
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 1e-5, rel
+
+
+def test_process_recording_hop_misaligned_chunk_len():
+    """chunk_len not a multiple of hop_len must still reproduce the
+    single-shot frame grid (it snaps to the hop grid — code-review r3:
+    the old behavior shifted the grid at every chunk boundary)."""
+    from ssqueeze_rs_tpu import stft
+    from ssqueeze_rs_tpu.parallel import process_recording
+
+    rng = np.random.default_rng(5)
+    C, N = 2, 6000
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    hop = 256
+    ref = np.asarray(stft(x, n_fft=512, hop_len=hop, fs=1000.0,
+                          dtype="float32"))
+
+    out, meta = process_recording(x, transform="stft", fs=1000.0,
+                                  n_fft=512, hop_len=hop,
+                                  chunk_len=1000)   # 1000 % 256 = 232
+    assert out.shape == ref.shape
+    assert np.allclose(out, ref, atol=2e-5 * np.abs(ref).max())
+
+
+def test_process_recording_cwt_derivative_rejected():
+    import pytest
+    from ssqueeze_rs_tpu.parallel import process_recording
+    x = np.zeros((1, 1024), np.float32)
+    with pytest.raises(ValueError, match="derivative"):
+        process_recording(x, transform="cwt", derivative=True)
