@@ -403,12 +403,15 @@ def icwt(Wx, wavelet="gmw", scales="log-piecewise", nv=None, one_int=True,
 
     if scaletype == "log-piecewise":
         idx = logscale_transition_idx(scales)
+        # x_mean added ONCE after combining the two log segments — the
+        # reference passes it into both recursive calls and adds it
+        # twice (_cwt.py:421-427); documented divergence (bug fix)
         kw = dict(wavelet=wavelet, one_int=one_int, x_len=x_len,
-                  x_mean=x_mean, padtype=padtype, rpadded=rpadded,
+                  x_mean=0, padtype=padtype, rpadded=rpadded,
                   l1_norm=l1_norm)
         x = icwt(Wx[..., :idx, :], scales=scales[:idx], **kw)
         x = x + icwt(Wx[..., idx:, :], scales=scales[idx:], **kw)
-        return x
+        return x + x_mean
 
     scales_1d = jnp.asarray(scales.squeeze(-1), dtype=Wx.real.dtype)
     if one_int:

@@ -38,19 +38,6 @@ __all__ = ["stft", "istft", "stft_core", "get_window", "overlap_add",
 MATMUL_NFFT_MAX = 2048
 
 
-def frame_signal(xp, n_fft: int, hop_len: int):
-    """Strided framing: (..., L) -> (..., n_segs, n_fft).
-
-    Utility (reference `buffer`, utils/stft_utils.py:20-98). NOTE: uses
-    fancy indexing = an XLA gather; fine on CPU, serializes on TPU — the
-    transforms use the scan-based `frames_T` builder instead."""
-    L = xp.shape[-1]
-    n_segs = (L - n_fft) // hop_len + 1
-    starts = jnp.arange(n_segs) * hop_len
-    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
-    return xp[..., idx]
-
-
 def frames_T_scan(xp, n_fft: int, hop_len: int):
     """framesT[..., j, i] = xp[..., j + i*hop]; built by a scan of
     GROUPED in-place row writes (contiguous reads+writes — never an
@@ -239,6 +226,12 @@ def stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None, t=None,
 
     `x`: array, time on last axis; arbitrary leading batch/channel dims.
     Returns `Sx` [(..., n_fft//2+1, n_hops)], plus `dSx` if `derivative`.
+
+    Documented divergence: `dSx` is scaled by `fs` for BOTH modulated
+    and unmodulated STFTs (d/dt = fs * d/dn holds regardless); the
+    reference multiplies the derivative window by fs only inside its
+    `if modulated:` branch (_stft.py:305-308), leaving the unmodulated
+    derivative in per-sample units.
     `planar_out` (internal, ssq_stft fast path): return f32 plane tuples
     ((Sxr, Sxi)[, (dSxr, dSxi)]) from the MXU matmul path.
     """

@@ -164,3 +164,15 @@ def test_cache_wavelet_matches_in_trace(monkeypatch):
     col1 = np.abs(np.asarray(T1)).sum(axis=0)
     assert np.abs(col1 - col0).mean() / col0.mean() < 1e-4
     jax.clear_caches()
+
+
+def test_icwt_log_piecewise_x_mean_added_once():
+    """x_mean is added exactly once for log-piecewise scales (the
+    reference's recursion adds it per segment, _cwt.py:421-427 —
+    documented divergence / bug fix, code-review r3)."""
+    t = np.linspace(0, 10, 1024, endpoint=False)
+    x = np.cos(2 * np.pi * 3 * np.exp(t / 3))
+    Wx, scales = cwt(x, "gmw", scales="log-piecewise", dtype="float64")
+    x0 = np.asarray(icwt(Wx, "gmw", scales="log-piecewise", x_mean=0.0))
+    x5 = np.asarray(icwt(Wx, "gmw", scales="log-piecewise", x_mean=5.0))
+    assert np.allclose(x5 - x0, 5.0)

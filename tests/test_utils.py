@@ -187,3 +187,26 @@ def test_afftshift_oracle_parity():
         assert np.array_equal(aifftshift(xh),
                               np.asarray(ref.wavelets.aifftshift(xh))), N
         assert np.array_equal(aifftshift(afftshift(xh)), xh), N
+
+
+def test_window_norm_vectorized_matches_direct():
+    """The per-residue prefix-sum path (used when max_hops > 4096) equals
+    the direct shift-add loop; cache returns consistent results."""
+    from ssqueeze_rs_tpu.utils.windows import window_norm, get_window
+
+    def direct(window, hop, n_fft, N, win_exp):
+        wn = np.zeros(N + n_fft - 1, dtype=np.float64)
+        wpow = window.astype(np.float64) ** (win_exp + 1)
+        for i in range((len(wn) - n_fft) // hop + 1):
+            wn[i * hop:i * hop + n_fft] += wpow
+        return wn.astype(window.dtype)
+
+    for hop, n_fft, N, exp in [(1, 64, 300000, 1), (3, 64, 20000, 2),
+                               (7, 128, 500000, 1), (64, 256, 9000, 0)]:
+        w = get_window("hann", n_fft, n_fft, dtype="float64")
+        got = window_norm(w, hop, n_fft, N, exp)
+        want = direct(w, hop, n_fft, N, exp)
+        assert np.allclose(got, want, rtol=1e-12,
+                           atol=1e-12 * want.max()), (hop, n_fft, N)
+        # second call hits the cache with the same values
+        assert np.array_equal(window_norm(w, hop, n_fft, N, exp), got)
