@@ -65,6 +65,12 @@ def process_scales(scales, N, wavelet=None, nv=None, get_params=False,
         assert_is_one_of(scales, "scales", ("log", "log-piecewise", "linear"))
         if nv is None:
             nv = 32
+        # validate + int-ify BEFORE the grid is built (reference
+        # _assert_positive_integer, cwt_utils.py:196-261): a fractional
+        # nv would lattice at nv but normalize downstream at int(nv)
+        if not float(nv).is_integer() or nv <= 0:
+            raise ValueError(f"`nv` must be a positive integer (got {nv})")
+        nv = int(nv)
         if wavelet is None:
             raise ValueError("must set `wavelet` if `scales` isn't array")
         scaletype = scales
@@ -73,8 +79,6 @@ def process_scales(scales, N, wavelet=None, nv=None, get_params=False,
                                  use_padded_N=use_padded_N)
         scales = make_scales(N, lo, hi, nv=nv, scaletype=scaletype,
                              wavelet=wavelet)
-        if nv is not None and not isinstance(nv, np.ndarray):
-            nv = int(nv)
         return (scales if not get_params else
                 (scales, scaletype, len(scales), nv))
 
@@ -230,6 +234,11 @@ def cwt_scalebounds(wavelet, N, preset=None, min_cutoff=None,
     length-N transform. Accepts str / (str, dict) / Wavelet specs;
     results cached per frozen Wavelet. (behavior: cwt_utils.py:66-188)"""
     from .wavelets.base import Wavelet
+    # user-facing argument-conflict warning lives OUTSIDE the cache
+    # (inside it fires only on the first call per arg combination)
+    if preset is not None and any(v is not None for v in
+                                  (min_cutoff, max_cutoff, cutoff)):
+        WARN("`preset` will override `min_cutoff, max_cutoff, cutoff`")
     return _scalebounds_cached(Wavelet.build(wavelet), N, preset,
                                min_cutoff, max_cutoff, cutoff, bin_loc,
                                bin_amp, use_padded_N)
@@ -243,8 +252,6 @@ def _scalebounds_cached(wavelet, N, preset=None, min_cutoff=None,
                         max_cutoff=None, cutoff=None, bin_loc=None,
                         bin_amp=None, use_padded_N=True):
     if preset is not None:
-        if any(v is not None for v in (min_cutoff, max_cutoff, cutoff)):
-            WARN("`preset` will override `min_cutoff, max_cutoff, cutoff`")
         assert_is_one_of(preset, "preset", ("maximal", "minimal", "naive"))
         if preset in ("naive", "maximal"):
             min_cutoff, max_cutoff = None, None

@@ -23,7 +23,13 @@ def _min_neglect_idx(arr, th=1e-15):
 
 def integrate_analytic(int_fn, nowarn=False):
     """Trapezoidal integral of an analytic-decaying unimodal fn over (0, inf)
-    (reference: old/ssqueezepy/utils/cwt_utils.py:583-627)."""
+    (reference: old/ssqueezepy/utils/cwt_utils.py:583-627).
+
+    Documented divergence: the no-convergence raise tests `abs(int_nz)`
+    where the reference tests the SIGNED value — for complex int_fn
+    (conj(psih)/w of a custom wavelet) the reference's comparison would
+    TypeError, and a negative-real near-zero integral flipped its raise/
+    warn branches; abs() keeps both paths well-defined."""
     def _est_arr(mxlim, N):
         t = np.linspace(mxlim, 0.1, N, endpoint=False)[::-1].copy()
         arr = int_fn(t)

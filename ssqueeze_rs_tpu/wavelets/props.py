@@ -92,6 +92,10 @@ def center_frequency(wavelet, scale=None, N=1024, kind="energy",
     (reference: old/ssqueezepy/wavelets.py:610-749).
     Accepts str / (str, dict) / Wavelet specs."""
     from .base import Wavelet
+    # user-facing note OUTSIDE the cache (inside it fires only once per
+    # argument combination)
+    if kind == "peak-ct" and scale is not None:
+        NOTE("`scale` ignored with `kind = 'peak-ct'`")
     return _center_frequency_cached(Wavelet.build(wavelet), scale, N, kind,
                                     force_int)
 
@@ -100,8 +104,6 @@ def center_frequency(wavelet, scale=None, N=1024, kind="energy",
 def _center_frequency_cached(wavelet, scale=None, N=1024, kind="energy",
                              force_int=None):
     assert_is_one_of(kind, "kind", ("energy", "peak", "peak-ct"))
-    if kind == "peak-ct" and scale is not None:
-        NOTE("`scale` ignored with `kind = 'peak-ct'`")
     if scale is None and kind != "peak-ct":
         wc, _ = find_maximum(wavelet)
         scale = (4 / pi) * wc
@@ -179,8 +181,11 @@ def _time_resolution_cached(wavelet, scale=10, N=1024, min_decay=1e3,
         scale_orig = scale
         scale = (4 / pi) * wavelet.wc_ct
 
-    # find integration span with sufficient decay
-    t = None
+    # find integration span with sufficient decay; psi_time samples with
+    # nohalf=False (Nyquist halving) — recomputing psi here WITHOUT the
+    # halving diverged from the reference (wavelet(scale*xi, nohalf=False),
+    # wavelets.py:898-906) by up to ~57% std_t at scale < 1.5
+    t = apsi2 = None
     for mult in np.arange(min_mult, max_mult + 1):
         Nt = int(mult * N)
         apsi2 = np.abs(np.asarray(wavelet.psi_time(scale, Nt))) ** 2
@@ -192,13 +197,7 @@ def _time_resolution_cached(wavelet, scale=10, N=1024, min_decay=1e3,
         raise Exception(
             f"Couldn't find decay timespan satisfying (min_decay, max_mult) = "
             f"({min_decay}, {max_mult}) for scale={scale}")
-    Nt = len(t)
 
-    xi = xifn(1, Nt)
-    psih = np.asarray(wavelet(scale * xi))
-    psi = np.fft.ifft(psih * (-1) ** np.arange(Nt))
-
-    apsi2 = np.abs(psi) ** 2
     var_t = np.trapezoid(t**2 * apsi2, t) / np.trapezoid(apsi2, t)
     std_t = np.sqrt(var_t)
     if use_formula:

@@ -326,3 +326,32 @@ def test_gmw_morsewave_validation():
     # beta=0: reference's own _morsewave1 crashes identically (quirk kept)
     with pytest.raises(ZeroDivisionError):
         morsewave(256, 1.0, gamma=3, beta=0)
+
+
+def test_time_resolution_small_scale_nyquist_halving():
+    """std_t at small scales uses the Nyquist-halved wavelet (reference
+    wavelet(scale*xi, nohalf=False) — was up to ~57% off, code-review
+    r3). Oracle check vs a direct halved computation."""
+    from ssqueeze_rs_tpu.wavelets import Wavelet, time_resolution
+    w = Wavelet.build("gmw")
+    for scale in (0.5, 1.0, 2.0):
+        Nt = 2048
+        psi = np.asarray(w.psi_time(scale, Nt))
+        t = np.arange(-Nt / 2, Nt / 2)
+        apsi2 = np.abs(psi) ** 2
+        want = np.sqrt(np.trapezoid(t**2 * apsi2, t) /
+                       np.trapezoid(apsi2, t))
+        got = time_resolution(w, scale=scale, N=1024, nondim=False)
+        assert abs(got - want) / want < 1e-6, scale
+
+
+def test_process_scales_nv_validation():
+    import pytest
+    from ssqueeze_rs_tpu import process_scales
+    with pytest.raises(ValueError, match="nv"):
+        process_scales("log", 1024, "gmw", nv=2.5)
+    with pytest.raises(ValueError, match="nv"):
+        process_scales("log", 1024, "gmw", nv=0)
+    sc, st, na, nv = process_scales("log", 1024, "gmw", nv=16.0,
+                                    get_params=True)
+    assert nv == 16 and isinstance(nv, int)
