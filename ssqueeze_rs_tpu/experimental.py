@@ -109,6 +109,11 @@ def phase_transform(Wx, dWx=None, difftype="trig", difforder=4, gamma=None,
             dWx = trigdiff(Wx, fs, padtype, rpadded, N=N, n1=n1,
                            transform="cwt")
         if get_w:
+            if difftype not in ("trig", "phase", "numeric"):
+                # a typo'd difftype used to fall through to the numeric
+                # slice and return mis-windowed output silently
+                raise ValueError("`difftype` must be one of: trig, phase, "
+                                 f"numeric (got {difftype})")
             if difftype == "trig":
                 w = phase_cwt(Wx, dWx, "trig", gamma)
             elif difftype == "phase":
@@ -150,4 +155,8 @@ def phase_ssqueeze(Wx, dWx=None, ssq_freqs=None, scales=None, Sfs=None,
                              wavelet=wavelet, gamma=gamma,
                              was_padded=was_padded, flipud=flipud, dWx=_dWx,
                              transform=transform)
+    # reference nulls dWx in the return when not requested
+    # (experimental.py:183-186) — don't keep the big array alive
+    if w is not None and not get_dWx:
+        dWx = None
     return Tx, Wx, ssq_freqs, scales, Sfs, w, dWx

@@ -38,13 +38,15 @@ class TestSignals:
         self.rng = np.random.default_rng(seed)
 
     # -- helpers ---------------------------------------------------------------
+    DEFAULT_TKW = dict(tmin=0, tmax=1, endpoint=True)
+
     def _params(self, N, tkw, fmin=None, fmax=None):
-        tmin = tkw.get("tmin", 0)
-        tmax = tkw.get("tmax", 1)
-        endpoint = tkw.get("endpoint", False)
+        tmin = tkw.get("tmin", self.DEFAULT_TKW["tmin"])
+        tmax = tkw.get("tmax", self.DEFAULT_TKW["tmax"])
+        endpoint = tkw.get("endpoint", self.DEFAULT_TKW["endpoint"])
         t = _t(tmin, tmax, N, endpoint)
         if fmax is None:
-            fmax = N / 2 / (tmax - tmin)
+            fmax = N // 2            # reference _process_params:639-640
         return t, tmin, tmax, fmax
 
     def _maybe_warn_alias(self, phi, name, tol=0.02):
@@ -62,6 +64,7 @@ class TestSignals:
     # -- tones -----------------------------------------------------------------
     def sine(self, N=None, f=1, phi0=0, **tkw):
         N = N or self.N
+        tkw.setdefault("endpoint", False)
         t, *_ = self._params(N, tkw)
         phi = 2 * pi * f * t + phi0
         self._maybe_warn_alias(phi, "sine")
@@ -69,6 +72,7 @@ class TestSignals:
 
     def cosine(self, N=None, f=1, phi0=0, **tkw):
         N = N or self.N
+        tkw.setdefault("endpoint", False)
         t, *_ = self._params(N, tkw)
         phi = 2 * pi * f * t + phi0
         self._maybe_warn_alias(phi, "cosine")
@@ -135,7 +139,7 @@ class TestSignals:
         return self._chirp(self.echirp_pc_fn, N, fmin, fmax, "echirp_pc",
                            **tkw)
 
-    def hchirp(self, N=None, fmin=1, fmax=None, **tkw):
+    def hchirp(self, N=None, fmin=0.1, fmax=None, **tkw):
         return self._chirp(self.hchirp_fn, N, fmin, fmax, "hchirp", **tkw)
 
     # -- parallel chirp pairs ----------------------------------------------------
@@ -259,10 +263,29 @@ class TestSignals:
         return self._maybe_noise(x1 + x2 + x3), t
 
     # -- batch makers -------------------------------------------------------------
+    # reference-bank defaults applied by make_signals/demo when the
+    # caller passes no kwargs (reference DEFAULT_ARGS,
+    # _test_signals.py:62-75; names normalized '-' -> '_')
+    DEFAULT_ARGS = {
+        "cosine": dict(f=64, phi0=0),
+        "sine": dict(f=64, phi0=0),
+        "lchirp": dict(tmin=0, tmax=1, fmin=0, fmax=None),
+        "echirp": dict(tmin=0, tmax=1, fmin=1, fmax=None),
+        "hchirp": dict(tmin=0, tmax=1, fmin=1, fmax=None),
+        "am_cosine": dict(amin=.1),
+        "am_sine": dict(amin=.1),
+        "am_exp": dict(amin=.1),
+        "am_gauss": dict(amin=.01),
+    }
+
     def make_signals(self, signals="all", N=None, get_params=False):
-        """Generate a dict {name: (x, t)} for the requested signal names;
-        entries may be (name, kwargs) pairs. With `get_params`, values are
-        (x, t, (fparams, aparams)) (reference: _test_signals.py:536-593).
+        """Generate the requested signals (reference semantics,
+        _test_signals.py:536-593): names may use '-' or '_', may be
+        (name, kwargs) pairs, and may compose a carrier with an
+        amplitude modulator as 'carrier:am-name'. Bank defaults
+        (`DEFAULT_ARGS`) fill unspecified kwargs. Returns a list of
+        signals `[x0, x1, ...]` (bare `x` for a single one); with
+        `get_params`, a dict `{name: (x, t, (fparams, aparams))}`.
         """
         def is_spec(t):   # (name, kwargs) pair vs a tuple of names
             return (isinstance(t, tuple) and len(t) == 2 and
@@ -275,10 +298,20 @@ class TestSignals:
         out = {}
         for spec in signals:
             name, kw = spec if is_spec(spec) else (spec, {})
-            x, t = getattr(self, name)(N=N, **kw)
-            out[name] = ((x, t, (dict(kw), dict(snr=self.snr)))
-                         if get_params else (x, t))
-        return out
+            fname, _, aname = name.replace("-", "_").partition(":")
+            aname = aname.replace("-", "_").lstrip(":")
+            fkw = dict(self.DEFAULT_ARGS.get(fname, {})) if not kw else {}
+            fkw.update(kw)
+            x, t = getattr(self, fname)(N=N, **fkw)
+            akw = {}
+            if aname:
+                akw = dict(self.DEFAULT_ARGS.get(aname, {}))
+                x = x * getattr(self, aname)(len(x), **akw)[0]
+            out[name] = (x, t, (fkw, akw))
+        if get_params:
+            return out
+        data = [v[0] for v in out.values()]
+        return data[0] if len(data) == 1 else data
 
     @staticmethod
     def _title(name, N, fparams, aparams):

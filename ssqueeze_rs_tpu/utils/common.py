@@ -9,8 +9,12 @@ import logging
 
 import numpy as np
 
-logging.basicConfig(format="")
 _logger = logging.getLogger("ssqueeze_rs_tpu")
+if not _logger.handlers:        # never touch the host app's root logger
+    _h = logging.StreamHandler()
+    _h.setFormatter(logging.Formatter("%(message)s"))
+    _logger.addHandler(_h)
+    _logger.propagate = False
 
 
 def WARN(msg: str):

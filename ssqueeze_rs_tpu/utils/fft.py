@@ -97,11 +97,13 @@ def irfft(x, n=None, axis=-1, **kw):
     return jnp.fft.irfft(jnp.asarray(x), n=n, axis=axis)
 
 
-def fftshift(x, axes=None):
+def fftshift(x, axes=-1):
+    # reference default axes=-1 (fft_utils.py:210-216): shifting ALL
+    # axes of a 2D transform would scramble the scale/frequency axis
     import jax.numpy as jnp
     return jnp.fft.fftshift(jnp.asarray(x), axes=axes)
 
 
-def ifftshift(x, axes=None):
+def ifftshift(x, axes=-1):
     import jax.numpy as jnp
     return jnp.fft.ifftshift(jnp.asarray(x), axes=axes)

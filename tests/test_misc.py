@@ -84,11 +84,20 @@ def test_tkeo_pure_tone_energy():
 
 def test_signals_bank():
     ts = TestSignals(N=512)
+    # reference return semantics: get_params=False -> list of signals
+    # (bare x for one), get_params=True -> {name: (x, t, params)}
     out = ts.make_signals("all")
-    assert set(out) == set(TestSignals.SUPPORTED)
-    for name, (x, t) in out.items():
+    assert isinstance(out, list) and len(out) == len(TestSignals.SUPPORTED)
+    outp = ts.make_signals("all", get_params=True)
+    assert set(outp) == set(TestSignals.SUPPORTED)
+    for name, (x, t, _params) in outp.items():
         assert np.isfinite(x).all(), name
         assert len(x) >= 500, name
+    x1 = ts.make_signals("sine")
+    assert isinstance(x1, np.ndarray)
+    # composition + bank defaults (reference DEFAULT_ARGS)
+    xc = ts.make_signals("sine:am-cosine")
+    assert isinstance(xc, np.ndarray) and np.isfinite(xc).all()
 
 
 def test_signals_snr():
