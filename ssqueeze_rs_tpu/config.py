@@ -45,10 +45,15 @@ def load_config_ini(path) -> dict:
     Sections are DEFAULTS keys ('morlet', 'gmw', 'make_scales', ...);
     a [global] section may set 'dtype'. Returns the updated DEFAULTS.
     """
+    import os
     import configparser
 
+    path = os.path.expanduser(str(path))
     cp = configparser.ConfigParser()
-    cp.read(str(path))
+    if not cp.read(path):
+        # configparser.read() silently ignores unreadable paths — a
+        # typo'd path would silently leave DEFAULTS unchanged
+        raise FileNotFoundError(f"config ini not found: {path}")
     for section in cp.sections():
         if section == "global":
             if cp.has_option(section, "dtype"):
@@ -168,6 +173,11 @@ def gdefaults(module_and_obj=None, get_all=False, as_dict=None,
                 out[k] = v
         elif k in out and out[k] is None:
             out[k] = v
+    if default_order and section:
+        # reference semantics (configs.py:68-77): order results by the
+        # defaults-table key order, extras (kw-only keys) last
+        out = {**{k: out[k] for k in section if k in out},
+               **{k: v for k, v in out.items() if k not in section}}
     if as_dict:
         return out
     vals = tuple(out.values())

@@ -202,16 +202,23 @@ def reassign_cpu(Wx, dWx, ssq_freqs, const_arr, gamma, mode: str,
         p = (params["vmin"], params["dv"], 0.0, 0.0, 0)
 
     if lib is None:
-        # numpy fallback via the jnp engine
+        # fallback via the jnp engine, PINNED TO CPU: the default
+        # backend may be the relay-attached TPU, where eager ssqueeze
+        # pipelines and complex fetches raise UNIMPLEMENTED, and
+        # complex128 would silently downcast without x64
+        import jax
         import jax.numpy as jnp
         from .ops.ssqueeze import reassign
-        params_j = {k: (jnp.asarray(v) if k != "idx1" else
-                        jnp.asarray(v, jnp.int32)) for k, v in params.items()}
-        return np.asarray(reassign(
-            jnp.asarray(Wx), jnp.asarray(dWx), jnp.asarray(consts),
-            jnp.asarray(float(gamma)), jnp.asarray(sfs), params_j,
-            mode=mode_str, flipud=flipud, fused=True,
-            transform="stft" if Sfs is not None else "cwt", nf=nf))
+        with jax.default_device(jax.devices("cpu")[0]):
+            params_j = {k: (jnp.asarray(v) if k != "idx1" else
+                            jnp.asarray(v, jnp.int32))
+                        for k, v in params.items()}
+            out = reassign(
+                jnp.asarray(Wx), jnp.asarray(dWx), jnp.asarray(consts),
+                jnp.asarray(float(gamma)), jnp.asarray(sfs), params_j,
+                mode=mode_str, flipud=flipud, fused=True,
+                transform="stft" if Sfs is not None else "cwt", nf=nf)
+            return np.asarray(out.real) + 1j * np.asarray(out.imag)
 
     out = np.zeros((nf, n), np.complex128)
     lib.ssq_reassign_f64(

@@ -126,7 +126,9 @@ def imshow(data, title=None, show=True, cmap=None, norm=None, complex=None,
         shown = np.abs(data) if abs else data.real
         im = main_ax.imshow(shown, **_kw)
         fig.colorbar(im, ax=main_ax)
-        if ridge is not None and ridge is not False:
+        ridge_on = (ridge is not None and
+                    (np.ndim(ridge) > 0 or bool(ridge)))
+        if ridge_on:
             if np.ndim(ridge) > 0:
                 main_ax.plot(np.arange(data.shape[-1]), ridge, "r",
                              linewidth=1)
@@ -181,7 +183,7 @@ def plot(x, y=None, title=None, show=False, ax_equal=False, complex=0,
         x, y = np.asarray(x), np.asarray(y)
         if squeeze:
             x, y = x.squeeze(), y.squeeze()
-    if not complex and np.iscomplexobj(y):
+    if not complex and not abs and np.iscomplexobj(y):
         complex = 1
     if vert:
         x, y = y, x
@@ -351,7 +353,7 @@ def wavelet_filterbank(wavelet, N=1024, scales="log", skips=0,
     wavelet = Wavelet.build(wavelet)
     scales = process_scales(scales, N, wavelet)
     Psih = np.asarray(wavelet.sample(scales.squeeze(-1), N, xp=np))
-    step = (skips + 1) if skips else max(1, len(Psih) // 32)
+    step = skips + 1     # skips=0 shows ALL (reference semantics)
     for p in Psih[::step]:
         plt.plot(p[:N // 2])
     t = f"{wavelet.name} filterbank | N={N}"
@@ -370,8 +372,9 @@ def wavelet_waveforms(wavelet, N=1024, scale=10.0, zoom=True, show=True):
     plt = _plt()
     wavelet = Wavelet.build(wavelet)
     psih = np.asarray(wavelet.sample(float(scale), N, xp=np))
-    psi = np.fft.fftshift(np.asarray(wavelet.psi_time(float(scale), N,
-                                                      xp=np)))
+    # psi_time is already centered (spectral (-1)^n reversal); a second
+    # fftshift un-centered every time-domain plot (code-review r3)
+    psi = np.asarray(wavelet.psi_time(float(scale), N, xp=np))
     fig, axes = plt.subplots(1, 2, figsize=(12, 4))
     axes[0].plot(psih[:N // 2])
     axes[0].set_title("freq domain (pos half)")
@@ -501,9 +504,8 @@ def wavelet_tf_anim(wavelet, N=1024, scales=None, n_frames=20,
     t = np.arange(N) - N // 2
 
     psihs = [np.asarray(wavelet.sample(float(s), N, xp=np)) for s in sc]
-    psis = [np.fft.fftshift(np.asarray(wavelet.psi_time(float(s), N,
-                                                        xp=np)))
-            for s in sc]
+    psis = [np.asarray(wavelet.psi_time(float(s), N, xp=np))
+            for s in sc]   # psi_time is already centered
     fmax = max(p[:N // 2].max() for p in psihs)
     tmax = max(np.abs(p).max() for p in psis)
     axes[0].set_xlim(0, N // 2)
@@ -527,9 +529,12 @@ def wavelet_tf_anim(wavelet, N=1024, scales=None, n_frames=20,
 def viz_cwt_higher_order(Wx_k, scales=None, wavelet=None, **imshow_kw):
     """Heatmaps of higher-order GMW CWTs (reference: visuals.py:585-607).
     `Wx_k`: list/array of per-order transforms."""
-    for k, Wx in enumerate(np.atleast_3d(np.asarray(Wx_k))
-                           if not isinstance(Wx_k, (list, tuple))
-                           else Wx_k):
+    if not isinstance(Wx_k, (list, tuple)):
+        Wx_k = np.asarray(Wx_k)
+        # a single 2D transform is ONE order — atleast_3d appends the
+        # new axis at the END and iterated na bogus (n, 1) "orders"
+        Wx_k = Wx_k[None] if Wx_k.ndim == 2 else Wx_k
+    for k, Wx in enumerate(Wx_k):
         name = wavelet if isinstance(wavelet, str) else "gmw"
         imshow(np.asarray(Wx), abs=True,
                title=f"|CWT| {name} order {k}", **imshow_kw)
@@ -557,8 +562,8 @@ def viz_cwt_scalebounds(wavelet, N=1024, min_scale=None, max_scale=None,
                     linewidth=1)
     axes[0].set_title(f"min_scale={float(min_scale):.3f} | "
                       f"cutoff={cutoff}")
-    psi = np.fft.fftshift(np.asarray(
-        wavelet.psi_time(float(max_scale), N, xp=np)))
+    psi = np.asarray(wavelet.psi_time(float(max_scale), N, xp=np))
+    # (already centered — no fftshift)
     t = np.arange(N) - N // 2
     axes[1].plot(t, psi.real)
     axes[1].plot(t, psi.imag)

@@ -251,3 +251,44 @@ def test_wavelet_tf_anim_gif_export(tmp_path):
                                  testing=True)
     assert p2.endswith("anim1.gif")
     plt.close("all")
+
+
+def test_visuals_time_domain_centered_and_gates():
+    """Time-domain wavelet plots center correctly (psi_time is already
+    centered — the extra fftshift un-centered them), plot(abs=True)
+    plots magnitude for complex input, imshow(ridge=0) draws no ridge,
+    and gdefaults honors default_order (code-review r3)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from ssqueeze_rs_tpu import visuals
+    from ssqueeze_rs_tpu.config import gdefaults
+
+    # plot(complex y, abs=True) -> ONE magnitude line, not real+imag
+    y = np.exp(1j * np.linspace(0, 6, 64))
+    plt.close("all")
+    visuals.plot(y, abs=True, show=False)
+    ax = plt.gcf().axes[0]
+    assert len(ax.lines) == 1
+    assert np.allclose(ax.lines[0].get_ydata(), np.abs(y))
+
+    # imshow(ridge=0) leaves no scatter
+    plt.close("all")
+    from matplotlib.collections import PathCollection
+    visuals.imshow(np.random.default_rng(0).standard_normal((8, 16)),
+                   ridge=0, show=False)
+    assert not any(isinstance(c, PathCollection)
+                   for a in plt.gcf().axes for c in a.collections)
+    plt.close("all")
+    visuals.imshow(np.random.default_rng(0).standard_normal((8, 16)),
+                   ridge=1, show=False)      # truthy scalar DOES mark maxima
+    assert any(isinstance(c, PathCollection)
+               for a in plt.gcf().axes for c in a.collections)
+
+    # waveforms render without error after the centering fix
+    plt.close("all")
+    visuals.wavelet_waveforms("gmw", N=256, scale=8.0, show=False)
+
+    out = gdefaults("gmw", beta=None, gamma=None, default_order=True,
+                    as_dict=True)
+    assert list(out)[:2] == ["gamma", "beta"]
