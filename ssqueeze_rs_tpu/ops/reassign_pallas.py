@@ -441,9 +441,16 @@ def _make_mxu_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
             Dr = sum(D6[:, s * 128:(s + 1) * 128] for s in range(splits))
             Di = sum(D6[:, half + s * 128:half + (s + 1) * 128]
                      for s in range(splits))
-            # diagonal extraction + row-group sum on the MXU
-            Sr = jnp.dot(P8, Dr * M8, preferred_element_type=jnp.float32)
-            Si = jnp.dot(P8, Di * M8, preferred_element_type=jnp.float32)
+            # diagonal extraction + row-group sum on the MXU. P8/M8
+            # are exact in bf16, but Dr/Di are f32 accumulations — a
+            # single DEFAULT-precision dot would bf16-quantize them
+            # (~3e-3); split the data operand like every other kernel
+            Sr = sum(jnp.dot(P8, part * M8,
+                             preferred_element_type=jnp.float32)
+                     for part in split3(Dr))
+            Si = sum(jnp.dot(P8, part * M8,
+                             preferred_element_type=jnp.float32)
+                     for part in split3(Di))
             outr_ref[:, pl.ds(g * 128, 128)] = Sr
             outi_ref[:, pl.ds(g * 128, 128)] = Si
             return 0
@@ -535,6 +542,10 @@ def reassign_pallas(Wx, dWx, const_arr, gamma, Sfs, plan_params, *, mode,
     import os
     impl = os.environ.get("SSQ_TPU_REASSIGN_IMPL", "vpu")
     splits = int(os.environ.get("SSQ_TPU_REASSIGN_SPLITS", "3"))
+    if splits not in (2, 3):
+        raise ValueError("SSQ_TPU_REASSIGN_SPLITS must be 2 or 3 "
+                         f"(got {splits}) — other values silently "
+                         "mis-partition the stacked dot output")
 
     planar_in = isinstance(Wx, tuple)
     cdtype = (Wx[0] if planar_in else Wx).dtype

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import interpret_mode
 
 __all__ = ["stft_dft_fused", "stft_fused_ok", "istft_ola_fused",
-           "istft_fused_ok", "ssq_stft_fused"]
+           "istft_fused_ok", "ssq_stft_fused", "ssq_stft_fused_ok"]
 
 
 def _pad8(n):
@@ -65,8 +65,8 @@ def _tile() -> int:
     return int(os.environ.get("SSQ_TPU_STFT_TILE", "256"))
 
 
-def stft_fused_ok(n_fft: int, Mp: int, kmats: int) -> bool:
-    """VMEM feasibility: signal row + W consts + F scratch + outputs.
+def _stft_fused_bytes(n_fft: int, Mp: int, kmats: int) -> int:
+    """VMEM estimate: signal row + W consts + F scratch + outputs.
     Uses the SAME tile the kernel will use (env knob included), and
     charges the LARGER of the dot6/dot1 working sets (dot1's 6x-stacked
     W cat equals dot6's three splits in bytes, but its in-kernel
@@ -74,14 +74,17 @@ def stft_fused_ok(n_fft: int, Mp: int, kmats: int) -> bool:
     T = _tile()
     nf_pad = _pad128(n_fft)
     rows = _pad8(kmats * (n_fft // 2 + 1))
-    vmem = (2 * _pad128(Mp) * 4            # signal row (2x-buffered)
+    return (2 * _pad128(Mp) * 4            # signal row (2x-buffered)
             + 3 * rows * nf_pad * 2 * 2    # W hi/mid/lo bf16 (const)
             + (T + nf_pad) * 4 * 2         # y window
             + nf_pad * T * 4 * 3           # F f32 + bf16 splits
             + 6 * nf_pad * T * 2           # dot1: _xcat6 concat operand
             + 3 * rows * T * 4             # live dot products
             + 2 * rows * T * 4 * 2)        # output block, 2x-buffered
-    return vmem < 100 * 1024 * 1024
+
+
+def stft_fused_ok(n_fft: int, Mp: int, kmats: int) -> bool:
+    return _stft_fused_bytes(n_fft, Mp, kmats) < 100 * 1024 * 1024
 
 
 def _split3_bf16_np(a):
@@ -178,7 +181,7 @@ def _frames_dft_into(dst, x_ref, j, y_ref, f_ref, wh_ref, wm_ref, wl_ref,
     dst[:] += d(wl_ref[:], xh)
 
 
-def _make_kernel(n_fft, nf_pad, T, rows_pad, impl, interp):
+def _make_kernel(n_fft, nf_pad, T, impl, interp):
     def kernel(x_ref, wh_ref, wm_ref, wl_ref, out_ref, y_ref, f_ref):
         _frames_dft_into(out_ref.at[0], x_ref, pl.program_id(1), y_ref,
                          f_ref, wh_ref, wm_ref, wl_ref, n_fft, nf_pad, T,
@@ -207,7 +210,7 @@ def _stft_fused_call(xp, Wh, Wm, Wl, *, n_fft, rows, n_out, impl,
     # a (B, Mp) array for B > 1)
     xp = jnp.pad(xp, ((0, 0), (0, Mp_pad - Mp)))[:, None, :]
 
-    kernel = _make_kernel(n_fft, nf_pad, T, rows_pad, impl, interpret)
+    kernel = _make_kernel(n_fft, nf_pad, T, impl, interpret)
     out = pl.pallas_call(
         kernel,
         grid=(B, nT),
@@ -652,17 +655,17 @@ def _ssq_w_consts(k_bytes, n_freqs, n_fft):
 
 
 def ssq_stft_fused_ok(n_fft: int, Mp: int) -> bool:
-    """VMEM gate for the MEGA kernel: the stft-shaped estimate plus the
-    mega kernel's extra working set (S scratch 4*nf8*T, k/vr/vi, and
-    the one-hot loop's (nf8, T) temporaries)."""
-    if not stft_fused_ok(n_fft, Mp, 4):
-        return False
+    """VMEM gate for the MEGA kernel: the stft-shaped estimate PLUS the
+    mega extras (S scratch 4*nf8*T, k/vr/vi, one-hot temporaries),
+    summed against the single kernel limit — gating the two pieces
+    independently let 110-130 MB combinations through to a Mosaic
+    compile error (review r3)."""
     T = _tile()
     nf8 = _pad8(n_fft // 2 + 1)
     extra = (4 * nf8 * T * 4          # S scratch
              + 3 * nf8 * T * 4        # k / vr / vi scratches
              + 10 * nf8 * T * 4)      # _bin_indices + one-hot temporaries
-    return extra < 30 * 1024 * 1024
+    return (_stft_fused_bytes(n_fft, Mp, 4) + extra) < 110 * 1024 * 1024
 
 
 # -- autodiff: backward delegates to the differentiable two-kernel route ------
@@ -736,6 +739,12 @@ def ssq_stft_fused(xp, K_T_np, n_fft: int, n_out: int, fs, Sfs, const_arr,
         interpret = interpret_mode()
     if impl is None:
         impl = stft_impl()
+    if xp.shape[-1] != n_out + n_fft - 1:
+        # same custom_vjp shape contract as stft_dft_fused (ADVICE r2):
+        # a longer xp passes the forward but breaks the backward
+        raise ValueError(
+            f"ssq_stft_fused requires xp.shape[-1] == n_out + n_fft - 1 "
+            f"(= {n_out + n_fft - 1}); got {xp.shape[-1]}")
     n_freqs = K_T_np.shape[0] // 4
     k_bytes = K_T_np.astype(np.float32).tobytes()
     if impl == "dot1":

@@ -186,3 +186,30 @@ def test_mxu_impl_matches_vpu(monkeypatch, mode_freqs, flipud):
     assert diff.sum() / denom < 2e-5, diff.sum() / denom
     # binning structure identical: nonzero patterns match
     assert ((np.abs(out) > 0) == (np.abs(ref) > 0)).mean() > 0.9999
+
+
+def test_mxu_splits_env_validated():
+    """SSQ_TPU_REASSIGN_SPLITS outside (2, 3) raises instead of silently
+    mis-partitioning the stacked dot (code-review r3)."""
+    import os
+    import pytest
+    from ssqueeze_rs_tpu.ops.reassign_pallas import reassign_pallas
+    from ssqueeze_rs_tpu.ops.ssqueeze import plan_reassignment
+
+    Sfs = np.linspace(0.01, 0.5, 8)
+    const, mode, params = plan_reassignment(Sfs, 8, False, transform="stft")
+    Wx = jnp.asarray(np.random.default_rng(0).standard_normal((8, 64))
+                     + 1j * np.random.default_rng(1).standard_normal((8, 64)),
+                     jnp.complex64)
+    old = os.environ.get("SSQ_TPU_REASSIGN_SPLITS")
+    try:
+        os.environ["SSQ_TPU_REASSIGN_SPLITS"] = "1"
+        with pytest.raises(ValueError, match="SPLITS"):
+            reassign_pallas(Wx, Wx, jnp.asarray(const, jnp.float32), 1e-6,
+                            jnp.asarray(Sfs, jnp.float32), params,
+                            mode=mode, flipud=False, transform="stft", nf=8)
+    finally:
+        if old is None:
+            os.environ.pop("SSQ_TPU_REASSIGN_SPLITS", None)
+        else:
+            os.environ["SSQ_TPU_REASSIGN_SPLITS"] = old
