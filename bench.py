@@ -14,6 +14,7 @@ function reduces its output to a scalar on device; we enqueue K executions
 back-to-back and fetch the last scalar, dividing total wall time by K
 (device executes in order, so this amortizes dispatch latency).
 """
+import os
 import json
 import sys
 import time
@@ -44,39 +45,95 @@ def timed(fn, args, K=8, reps=3):
     return best
 
 
+def _probe_once(timeout_s=120):
+    """One relay probe in a daemon thread: a HARD-down relay HANGS the
+    matmul fetch (not just slows it), and a hung jnp op cannot be
+    cancelled in-process — the thread lets the caller time out and keep
+    control. Returns the probe seconds, or None if hung/failed."""
+    import threading
+
+    res = {}
+
+    def run():
+        try:
+            import jax.numpy as jnp
+            a = jnp.ones((512, 512), jnp.float32)
+            t0 = time.time()
+            _ = float((a @ a).sum())
+            res["dt"] = time.time() - t0
+        except Exception as e:      # noqa: BLE001 — report, don't hang
+            res["err"] = str(e)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return res.get("dt")
+
+
 def _wait_relay_healthy(max_wait_s=480):
     """The axon relay has documented degraded phases (trivial matmul
-    taking ~100 s). Probe with a small matmul and, while it's slow,
-    sleep-retry so a one-shot driver capture doesn't record a degraded
-    phase as the framework's speed. A HANGING probe can't be rescued
-    in-process; slow-but-completing ones (the observed mode) can."""
-    import jax
-    import jax.numpy as jnp
-
+    taking ~100 s) and hard outages (probe hangs). Sleep-retry while
+    degraded so a one-shot driver capture doesn't record a degraded
+    phase as the framework's speed; if the relay is hard-down past the
+    deadline, emit an honest failure JSON line and exit — a silent hang
+    gives the driver nothing at all."""
     deadline = time.time() + max_wait_s
     while True:
-        t0 = time.time()
-        a = jnp.ones((512, 512), jnp.float32)
-        _ = float((a @ a).sum())
-        dt = time.time() - t0
-        if dt < 2.0:
+        dt = _probe_once()
+        if dt is not None and dt < 2.0:
             return True
-        print(f"relay probe {dt:.1f}s (degraded); retrying...",
-              file=sys.stderr, flush=True)
+        state = "hung" if dt is None else f"{dt:.1f}s (degraded)"
+        print(f"relay probe {state}; retrying...", file=sys.stderr,
+              flush=True)
         if time.time() > deadline:
+            if dt is None:
+                print(json.dumps({
+                    "metric": "160k-ssq_cwt_ms", "value": -1, "unit": "ms",
+                    "vs_baseline": 0,
+                    "error": "tpu_relay_down: probe hung past deadline"}),
+                    flush=True)
+                os._exit(3)
             print("relay still degraded; benching anyway",
                   file=sys.stderr, flush=True)
             return False
         time.sleep(45)
 
 
+def _guarded_backend(timeout_s=300):
+    """Backend NAME via a daemon thread: with the relay hard-down, the
+    axon client INIT itself hangs (before any probe can run)."""
+    import threading
+
+    res = {}
+
+    def run():
+        try:
+            import jax
+            res["backend"] = jax.default_backend()
+        except Exception as e:      # noqa: BLE001
+            res["err"] = str(e)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "backend" not in res:
+        print(json.dumps({
+            "metric": "160k-ssq_cwt_ms", "value": -1, "unit": "ms",
+            "vs_baseline": 0,
+            "error": "tpu_relay_down: backend init hung/failed "
+                     f"({res.get('err', 'timeout')})"}), flush=True)
+        os._exit(3)
+    return res["backend"]
+
+
 def main():
+    backend = _guarded_backend()
     import jax
     import jax.numpy as jnp
     from ssqueeze_rs_tpu import ssq_cwt, cwt, stft, ssq_stft, Wavelet
     from ssqueeze_rs_tpu.scales import process_scales
 
-    if jax.default_backend() == "tpu":
+    if backend == "tpu":
         _wait_relay_healthy()
 
     N = 160000
