@@ -130,15 +130,19 @@ def _xcat6(X, axis=0, f32=False):
 _DUMMY_W = np.zeros((8, 128), np.float32)  # placeholder operand (stacked)
 
 
-def stft_impl() -> str:
+def stft_impl(default: str = "dot6") -> str:
     """MXU issue pattern for the STFT-family kernels — 'dot6' (6 dots
     per bf16x6 matmul) or 'dot1' (stacked-contraction single dot; same
-    MACs, one MXU issue — the kernels are dot-issue-bound at these
-    small dot shapes, ~70 T MAC/s back-to-back vs 1.6 P single-dot).
-    Read at CALL time and threaded as a static jit arg (like
-    fft_pallas.fft_impl), so in-process switching is safe."""
+    MACs, one MXU issue). Read at CALL time and threaded as a static
+    jit arg (like fft_pallas.fft_impl), so in-process switching is safe.
+
+    Per-kernel defaults from the r4 on-chip A/B (healthy relay, K=8,
+    docs/DESIGN.md "dot-variant A/B results"): stft 7.82/7.90 and
+    ssq-mega 33.27/33.25 are NEUTRAL (keep dot6); istft is 14.30 vs
+    10.43 — dot1 wins 27%, so istft_ola_fused passes default='dot1'.
+    The env var, when set, overrides every kernel."""
     import os
-    v = os.environ.get("SSQ_TPU_STFT_IMPL", "dot6")
+    v = os.environ.get("SSQ_TPU_STFT_IMPL", default)
     if v not in ("dot6", "dot1"):
         raise ValueError(f"SSQ_TPU_STFT_IMPL={v!r}: want dot6|dot1")
     return v
@@ -467,7 +471,7 @@ def istft_ola_fused(Sx, Fr_np, Fs_np, n_fft: int, interpret=None,
     if interpret is None:
         interpret = interpret_mode()
     if impl is None:
-        impl = stft_impl()
+        impl = stft_impl(default="dot1")   # r4 A/B: 10.43 vs 14.30 ms
     batch = Sx.shape[:-2]
     n_freqs, n_segs = Sx.shape[-2:]
     b = int(np.prod(batch)) if batch else 1
