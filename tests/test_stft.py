@@ -154,3 +154,71 @@ def test_dtype_preservation():
         assert Tx.dtype == cdt and Wx2.dtype == cdt
         Tx2, Sx2, *_ = ssq_stft(x, n_fft=128, dtype=dt)
         assert Tx2.dtype == cdt and Sx2.dtype == cdt
+
+
+def test_stft_vs_scipy_cross_oracle():
+    """External-library cross-check (restores the intent of the
+    reference's librosa test, old/tests/reconstruction_test.py:209-236;
+    librosa is not installed here, scipy is).
+
+    Convention mapping (documented + asserted):
+      * our stft(modulated=False, padtype='reflect') on x equals
+        scipy.signal.stft on OUR reflect-padded xp (padlength =
+        N + n_fft - 1) with boundary=None, padded=False — same frame
+        grid, offset 0, same column count;
+      * scipy scaling='spectrum' divides by win.sum(); multiply back;
+      * the window is passed as an ARRAY to both sides (no name
+        mapping): scipy.signal.get_window('hann') = periodic hann.
+
+    Measured: bit-exact for even n_fft, ~4e-15 for odd (twiddle
+    evaluation order).
+    """
+    import scipy.signal as sps
+
+    rng = np.random.default_rng(0)
+    for N in (512, 509):
+        x = rng.standard_normal(N)
+        for n_fft in (128, 129):
+            win = sps.get_window("hann", n_fft)
+            for hop in (1, 2, 4):
+                Sx = np.asarray(stft(x, window=win, n_fft=n_fft,
+                                     hop_len=hop, modulated=False,
+                                     dtype="float64"))
+                xp = np.asarray(padsignal(x, "reflect",
+                                          padlength=N + n_fft - 1))
+                _, _, Z = sps.stft(xp, window=win, nperseg=n_fft,
+                                   noverlap=n_fft - hop, boundary=None,
+                                   padded=False, detrend=False,
+                                   return_onesided=True,
+                                   scaling="spectrum")
+                Z = Z * win.sum()
+                txt = f"(N, n_fft, hop) = ({N}, {n_fft}, {hop})"
+                assert Sx.shape == Z.shape, f"{Sx.shape} != {Z.shape} {txt}"
+                assert np.allclose(Sx, Z, atol=1e-13, rtol=1e-12), (
+                    f"max abs diff {np.abs(Sx - Z).max():.2e} {txt}")
+
+
+def test_istft_inverts_scipy_spectra():
+    """Inverse-direction cross-check: OUR istft applied to spectra
+    produced by SCIPY's stft (converted per the mapping above) must
+    reconstruct the signal — validates the inverse against an
+    externally-generated input, not just our own forward transform.
+    (scipy's istft OLA/boundary conventions don't map onto the
+    Griffin-Lim win_exp semantics, so the forward direction is the
+    shared oracle; reference librosa check was forward-only too.)"""
+    import scipy.signal as sps
+
+    rng = np.random.default_rng(1)
+    N, n_fft = 512, 128
+    x = rng.standard_normal(N)
+    win = sps.get_window("hann", n_fft)
+    xp = np.asarray(padsignal(x, "reflect", padlength=N + n_fft - 1))
+    for hop in (1, 2, 4):
+        _, _, Z = sps.stft(xp, window=win, nperseg=n_fft,
+                           noverlap=n_fft - hop, boundary=None,
+                           padded=False, detrend=False,
+                           return_onesided=True, scaling="spectrum")
+        xr = np.asarray(istft(Z * win.sum(), window=win, n_fft=n_fft,
+                              hop_len=hop, N=N, modulated=False))
+        mae = np.abs(x - xr).mean()
+        assert mae < 1e-14, f"hop={hop}: MAE {mae:.2e}"
