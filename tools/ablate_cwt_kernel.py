@@ -1,0 +1,187 @@
+"""Ablation roofline of the fused cwt-deriv kernel (VERDICT r3 #3).
+
+The r4 dot-variant A/B disproved the dot-issue-bound hypothesis (dot3 ~
+dot1 ~ merged ~ tmerged at ~16.8 ms), yet paper rooflines say the kernel
+should run at ~2.4 ms (MXU ~0.7 + HBM ~1.1 + VPU ~1.0, overlapped). This
+harness times STRIPPED variants of the same Pallas kernel at the
+production shape to locate where the 16.8 ms actually goes:
+
+  full     : the production dot3 kernel (baseline)
+  nosplit  : bf16x1 dots (1 dot/stage instead of 3; wrong precision,
+             measures the bf16-split + extra-dot cost)
+  nostage1 : stage-1 dot replaced by a concat (keeps shapes/memory)
+  nostage2 : stage-2 dot replaced by a slice
+  nodots   : both dots removed (pure VPU + memory movement)
+  notwiddle: twiddle 6-op complex multiply removed
+  nolayout : final (M1, 2R) -> (2, R*M1) transpose-relayout removed
+             (reads the same elements in a layout-preserving order)
+  dmaonly  : empty body — the grid + BlockSpec DMA floor (Pw rows in,
+             4 output rows out; Mosaic still streams every block)
+
+All ablated variants compute WRONG math by design; each preserves the
+memory-movement shape of everything it does not remove, so
+full - variant isolates that component's cost.
+
+Run on chip: python tools/ablate_cwt_kernel.py [K reps]
+"""
+import functools
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ssqueeze_rs_tpu.ops.fft_mxu import best_split
+from ssqueeze_rs_tpu.ops.fft_pallas import (_fused_consts, _dot3, _dot3_r,
+                                            _split_bf16)
+
+NA, L = 293, 160000
+M = 1 << 18
+M1, M2 = best_split(M)
+K1 = M1 // 2
+START = (M - L) // 2
+
+
+def _make_kernel(R, off, ablate):
+    def pipeline(zr, zi, w1h, w1l, Tr, Ti, w2h, w2l):
+        X = jnp.concatenate([zr, zi], axis=0)              # (M1, M2)
+        if ablate in ("nostage1", "nodots"):
+            B1 = jnp.concatenate([X, X], axis=0)           # (2M1, M2)
+        elif ablate == "nosplit":
+            B1 = jnp.dot(w1h, X.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        else:
+            B1 = _dot3(w1h, w1l, X)                        # (2M1, M2)
+        Br, Bi = B1[:M1], B1[M1:]
+        if ablate == "notwiddle":
+            C2 = jnp.concatenate([Br, Bi], axis=-1)        # (M1, 2M2)
+        else:
+            C2 = jnp.concatenate([Br * Tr - Bi * Ti, Br * Ti + Bi * Tr],
+                                 axis=-1)
+        if ablate in ("nostage2", "nodots"):
+            OUT = C2[:, :2 * R]                            # (M1, 2R)
+        elif ablate == "nosplit":
+            OUT = jnp.dot(C2.astype(jnp.bfloat16),
+                          w2h.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        else:
+            OUT = _dot3_r(C2, w2h, w2l)
+        if ablate == "nolayout":
+            # same element count, layout-preserving read order
+            return OUT.reshape(2, R * M1)[:, off:off + L]
+        return OUT.T.reshape(2, R * M1)[:, off:off + L]
+
+    def kernel(pw_ref, xr_ref, xi_ref, xig_ref, invdt_ref, nwr_ref,
+               nwi_ref, ndr_ref, ndi_ref, w1h_ref, w1l_ref, tr_ref,
+               ti_ref, w2h_ref, w2l_ref, alt_ref, owr_ref, owi_ref,
+               odr_ref, odi_ref):
+        if ablate == "dmaonly":
+            z = jnp.zeros((L,), jnp.float32)
+            owr_ref[0, 0] = z
+            owi_ref[0, 0] = z
+            odr_ref[0, 0] = z
+            odi_ref[0, 0] = z
+            return
+        args = (w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
+                w2h_ref[:], w2l_ref[:])
+        p = pw_ref[0]
+        zr = p * xr_ref[0]
+        zi = p * xi_ref[0]
+        alt = alt_ref[0]
+        OW = pipeline(zr, zi, *args)
+        owr_ref[0, 0] = OW[0] + nwr_ref[0, 0, 0] * alt
+        owi_ref[0, 0] = OW[1] + nwi_ref[0, 0, 0] * alt
+        s = xig_ref[:] * invdt_ref[0, 0, 0]
+        OD = pipeline(-zi * s, zr * s, *args)
+        odr_ref[0, 0] = OD[0] + ndr_ref[0, 0, 0] * alt
+        odi_ref[0, 0] = OD[1] + ndi_ref[0, 0, 0] * alt
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("ablate", "interpret"))
+def run(Pw, xr_g, xi_g, xig, ablate, interpret=False):
+    start, length = START, L
+    r0 = start // M1
+    r1 = -(-(start + length) // M1)
+    R = r1 - r0
+    off = start - r0 * M1
+    (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(M, r0, r1, 1)
+    alt_keep = alt[start:start + length][None, :]
+    kernel = _make_kernel(R, off, ablate)
+    rows = NA
+    row3 = lambda i: (i, 0, 0)
+    const2 = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+    lane = jnp.zeros((rows, 1, 128), jnp.float32)
+    scal = jnp.ones((1, 1, 128), jnp.float32)
+    out3 = lambda: pl.BlockSpec((1, 1, L), row3, memory_space=pltpu.VMEM)
+    wspecs = [pl.BlockSpec(w.shape, const2, memory_space=pltpu.VMEM)
+              for w in (W1h, W1l, Tr, Ti, W2h, W2l)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(rows,),
+        in_specs=[
+            pl.BlockSpec((1, K1, M2), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K1, M2), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K1, M2), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K1, M2), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), const3, memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((1, 1, 128), row3, memory_space=pltpu.VMEM)] * 4
+        + wspecs
+        + [pl.BlockSpec((1, L), const2, memory_space=pltpu.VMEM)],
+        out_specs=(out3(), out3(), out3(), out3()),
+        out_shape=tuple(jax.ShapeDtypeStruct((rows, 1, L), jnp.float32)
+                        for _ in range(4)),
+        interpret=interpret,
+        **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024))),
+    )(Pw, xr_g, xi_g, xig, scal, lane, lane, lane, lane,
+      *[jnp.asarray(w) for w in (W1h, W1l, Tr, Ti, W2h, W2l)],
+      jnp.asarray(alt_keep))
+    return sum(jnp.sum(o) for o in outs)
+
+
+def main():
+    import os
+    interp = bool(int(os.environ.get("SSQ_ABLATE_INTERPRET", "0")))
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    print(f"device {jax.devices()} K={K}", file=sys.stderr, flush=True)
+
+    @jax.jit
+    def gen(key):
+        ks = jax.random.split(key, 4)
+        Pw = jax.random.normal(ks[0], (NA, K1, M2), jnp.float32)
+        xr = jax.random.normal(ks[1], (1, K1, M2), jnp.float32)
+        xi = jax.random.normal(ks[2], (1, K1, M2), jnp.float32)
+        xig = jax.random.uniform(ks[3], (K1, M2), jnp.float32, 0, 3)
+        return Pw, xr, xi, xig
+
+    Pw, xr, xi, xig = jax.block_until_ready(gen(jax.random.PRNGKey(0)))
+
+    variants = ("full", "nosplit", "nostage1", "nostage2", "nodots",
+                "notwiddle", "nolayout", "dmaonly")
+    for ab in variants:
+        try:
+            f = lambda i, ab=ab: run(Pw + jnp.float32(i) * 0, xr, xi, xig,
+                                     ab, interpret=interp)
+            _ = float(f(0))
+            best = float("inf")
+            for r in range(3):
+                t0 = time.perf_counter()
+                outs = [f(r * K + i + 1) for i in range(K)]
+                _ = float(outs[-1])
+                best = min(best, (time.perf_counter() - t0) / K)
+            print(f"{ab:10s} {best * 1e3:8.3f} ms", flush=True)
+        except Exception as e:
+            print(f"{ab:10s} FAILED: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
