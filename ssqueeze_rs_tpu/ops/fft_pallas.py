@@ -592,6 +592,57 @@ def _make_cwt_kernel_t(M1, M2, R, off, L, derivative, interp=False):
     return kernel
 
 
+def _make_cwt_kernel_rb(M1, M2, R, off, L, derivative, RB, interp=False):
+    """Row-blocked untiled cwt-mode kernel (impl='rbN'): RB scale rows
+    per grid step, each row's dot3 pipeline kept as an INDEPENDENT
+    dependency chain (trace-time python loop, separate temporaries).
+
+    Rationale (r4, tools/mxu_rate_probe.py --chains): in-kernel ops
+    carry ~15-20 us dependency LATENCY — a single (1024,512,512) dot
+    in a serialized accumulator chain costs 19.7 us, but 8 independent
+    chains run at 5.5 us/dot. The single-row kernel is one serial
+    ~15-stage chain per grid step, so it runs at latency, not
+    throughput; RB independent row pipelines give the Mosaic scheduler
+    overlap to hide it. (The r2 RB=8 experiment batched rows under ONE
+    chain and measured neutral — independence is the active
+    ingredient, not the blocking.)"""
+    def pipeline3(zr, zi, w1h, w1l, Tr, Ti, w2h, w2l):
+        X = jnp.concatenate([zr, zi], axis=0)              # (2K1, M2)
+        B1 = _dot3(w1h, w1l, X)                            # (2M1, M2)
+        Br, Bi = B1[:M1], B1[M1:]
+        C2 = jnp.concatenate([Br * Tr - Bi * Ti, Br * Ti + Bi * Tr],
+                             axis=-1)                      # (M1, 2M2)
+        OUT = _dot3_r(C2, w2h, w2l)                        # (M1, 2R)
+        return OUT.T.reshape(2, R * M1)[:, off:off + L]
+
+    def kernel(pw_ref, xr_ref, xi_ref, xig_ref, invdt_ref, nwr_ref,
+               nwi_ref, ndr_ref, ndi_ref, w1h_ref, w1l_ref, tr_ref,
+               ti_ref, w2h_ref, w2l_ref, alt_ref, owr_ref, owi_ref,
+               odr_ref, odi_ref):
+        args = (w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
+                w2h_ref[:], w2l_ref[:])
+        alt = alt_ref[0]
+        xr = xr_ref[0]
+        xi = xi_ref[0]
+        if derivative:
+            s = xig_ref[:] * invdt_ref[0, 0, 0]
+        for r in range(RB):
+            p = pw_ref[r]                                  # (K1, M2)
+            zr = p * xr
+            zi = p * xi
+            OW = pipeline3(zr, zi, *args)
+            owr_ref[r, 0] = OW[0] + nwr_ref[r, 0, 0] * alt
+            owi_ref[r, 0] = OW[1] + nwi_ref[r, 0, 0] * alt
+            if derivative:
+                OD = pipeline3(-zi * s, zr * s, *args)
+                odr_ref[r, 0] = OD[0] + ndr_ref[r, 0, 0] * alt
+                odi_ref[r, 0] = OD[1] + ndi_ref[r, 0, 0] * alt
+            else:
+                odr_ref[r, 0] = jnp.zeros((L,), jnp.float32)
+                odi_ref[r, 0] = jnp.zeros((L,), jnp.float32)
+    return kernel
+
+
 def _make_cwt_kernel(M1, M2, R, off, L, derivative, impl="dot3",
                      interp=False):
     """Untiled cwt-mode kernel. impl selects the MXU issue pattern
@@ -690,6 +741,13 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
     r1 = -(-(start + length) // M1)
     R = r1 - r0
     off = start - r0 * M1
+    rb = 0
+    if impl.startswith("rb"):
+        # row-blocked independent-chain variant (see _make_cwt_kernel_rb):
+        # untiled, single-signal only; falls back to dot3 otherwise
+        if tiles == 1 and b == 1:
+            rb = int(impl[2:])
+        impl = "dot3"
     if tiles > 1 and impl in ("merged", "tmerged"):
         impl = "dot1"           # merged would double the VMEM scratches
     if impl == "dot3":
@@ -711,6 +769,51 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
         wmats = [W1c, Tr, Ti, W2c]
     alt_keep = alt[start:start + length][None, :]
     T, Mt = tiles, M2 // tiles
+
+    if rb:
+        pad_r = (-rows) % rb
+        if pad_r:
+            Pw = jnp.pad(Pw, ((0, pad_r), (0, 0), (0, 0)))
+        rows_pad = rows + pad_r
+        kernel = _make_cwt_kernel_rb(M1, M2, R, off, length, derivative,
+                                     rb, interpret)
+        grid = (rows_pad // rb,)
+        const2 = lambda i: (0, 0)
+        const3 = lambda i: (0, 0, 0)
+        rowb = lambda i: (i, 0, 0)
+        pwspec = pl.BlockSpec((rb, K1, M2), rowb, memory_space=pltpu.VMEM)
+        xspec = pl.BlockSpec((1, K1, M2), const3, memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((K1, M2), const2, memory_space=pltpu.VMEM)
+        wspecs = [pl.BlockSpec(w.shape, const2, memory_space=pltpu.VMEM)
+                  for w in wmats]
+        lane = lambda v: jnp.broadcast_to(
+            jnp.pad(v, (0, pad_r))[:, None, None], (rows_pad, 1, 128))
+        scal = jnp.broadcast_to(inv_dt.reshape(1, 1, 1), (1, 1, 128))
+        outb = lambda: pl.BlockSpec((rb, 1, length), rowb,
+                                    memory_space=pltpu.VMEM)
+        owr, owi, odr, odi = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pwspec, xspec, xspec, gspec,
+                pl.BlockSpec((1, 1, 128), const3, memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec((rb, 1, 128), rowb,
+                              memory_space=pltpu.VMEM)] * 4
+            + wspecs
+            + [pl.BlockSpec((1, length), const2, memory_space=pltpu.VMEM)],
+            out_specs=(outb(), outb(), outb(), outb()),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((rows_pad, 1, length), jnp.float32)
+                for _ in range(4)),
+            interpret=interpret,
+            **({} if interpret else dict(
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=127 * 1024 * 1024))),
+        )(Pw, xr_g, xi_g, xig, scal, lane(nyq_w[0]), lane(nyq_w[1]),
+          lane(nyq_d[0]), lane(nyq_d[1]),
+          *[jnp.asarray(w) for w in wmats], jnp.asarray(alt_keep))
+        return (owr[:rows, 0], owi[:rows, 0],
+                odr[:rows, 0], odi[:rows, 0])
 
     if T == 1 and impl == "tmerged":
         kernel = _make_cwt_kernel_t(M1, M2, R, off, length, derivative,
@@ -913,9 +1016,11 @@ def fft_impl() -> str:
     trace-time env read)."""
     import os
     v = os.environ.get("SSQ_TPU_FFT_IMPL", "dot3")
-    if v not in ("dot3", "dot1", "merged", "tmerged"):
+    ok = v in ("dot3", "dot1", "merged", "tmerged") or (
+        v.startswith("rb") and v[2:].isdigit() and int(v[2:]) > 0)
+    if not ok:
         raise ValueError(
-            f"SSQ_TPU_FFT_IMPL={v!r}: want dot3|dot1|merged|tmerged")
+            f"SSQ_TPU_FFT_IMPL={v!r}: want dot3|dot1|merged|tmerged|rbN")
     return v
 
 

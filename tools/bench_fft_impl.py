@@ -63,7 +63,8 @@ def main():
     # derivative=True = the ssq_cwt production shape; derivative=False
     # informs whether standalone cwt should switch off the c64 einsum
     for deriv in (True, False):
-        for impl in ("dot3", "dot1", "merged", "tmerged"):
+        for impl in ("dot3", "dot1", "merged", "tmerged",
+                     "rb2", "rb4", "rb8"):
             tag = f"{'wd' if deriv else 'w '}:{impl}"
             try:
                 f = make(impl, deriv)
