@@ -95,12 +95,40 @@ def _cache_filterbank(wavelet: Wavelet, scales_np, M: int):
     return token
 
 
+class _WPlane:
+    """Marker wrapper for cwt_core's planes_d slot: the dWx planes were
+    replaced by the fused-phase w plane (fft_pallas phase_gamma mode).
+    Registered as a pytree so it can cross the cwt_core jit boundary."""
+    __slots__ = ("w",)
+
+    def __init__(self, w):
+        self.w = w
+
+
+jax.tree_util.register_pytree_node(
+    _WPlane, lambda p: ((p.w,), None), lambda _, ch: _WPlane(ch[0]))
+
+
+def cwt_phase_fusable(M: int, wavelet: Wavelet, dtype, engines=None) -> bool:
+    """True when cwt_core(phase_gamma=...) will take the fused-phase
+    kernel (untiled cwt-mode fused path): the ssq_cwt gate."""
+    from .fft_mxu import use_mxu_fft, best_split
+    from ..config import use_pallas_kernels
+    from .fft_pallas import fused_tiles
+    if engines is None:
+        engines = (use_mxu_fft(), use_pallas_kernels())
+    return bool(np.dtype(dtype) == np.float32 and engines[0] and
+                best_split(M) is not None and _psih_is_real(wavelet) and
+                engines[1] and fused_tiles(M, 2) == 1)
+
+
 @partial(jax.jit, static_argnames=("wavelet", "derivative", "l1_norm", "N",
                                    "n1", "rpadded", "planar_out",
-                                   "engines", "fb_token"))
+                                   "engines", "fb_token", "phase_gamma"))
 def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
              l1_norm: bool, N: int, n1: int, rpadded: bool,
-             planar_out: bool = False, engines=None, fb_token=None):
+             planar_out: bool = False, engines=None, fb_token=None,
+             phase_gamma=None):
     """CWT of an already-padded signal. xp: (..., M); returns (..., na, N).
 
     `planar_out=True` (fused ssq_cwt path; requires the MXU half-band
@@ -108,6 +136,12 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
     ((Wxr, Wxi), (dWxr, dWxi)) instead of complex arrays — the
     reassignment kernel consumes planes, so no c64 array is ever built
     for dWx.
+
+    `phase_gamma` (r4): fuse the phase transform into the cwt kernel
+    epilogue — planes_d comes back as a `_WPlane` wrapping the single
+    w plane (+inf where |Wx| <= gamma) instead of the (dWxr, dWxi)
+    pair. Caller must pre-gate with `cwt_phase_fusable`; honored only
+    on the untiled fused cwt-mode path with derivative=True.
     """
     M = xp.shape[-1]
     from .fft_mxu import (ifft_mxu_halfband, ifft_mxu_halfband_planar,
@@ -159,7 +193,21 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
         fused_cwtmode = (engines[1] and
                          fused_ok(M, 2 if derivative else 1))
 
-        if fused_cwtmode:
+        from .fft_pallas import fused_tiles
+        phase = (phase_gamma is not None and fused_cwtmode and derivative
+                 and planar_out and fused_tiles(M, 2) == 1)
+        wpl = None
+        if phase:
+            # fused kernel + fused PHASE epilogue: one w plane replaces
+            # the two dWx planes (see fft_pallas._make_cwt_kernel_phase)
+            xrg = xh.real[:, :M // 2].reshape(b, K1, M2)
+            xig_im = xh.imag[:, :M // 2].reshape(b, K1, M2)
+            wxr, wxi, wpl = cwt_halfband_fused(
+                Pw, xrg, xig_im, jnp.asarray(xig), 1.0 / dt,
+                (znyq, zeros), (zeros, znyq * (np.pi / dt)),
+                keep=keep, derivative=True, phase_gamma=phase_gamma)
+            planes = ((wxr, wxi), None)
+        elif fused_cwtmode:
             # fully fused kernel: the Z = psih * xhat filterbank multiply
             # ALSO happens in VMEM, so the (B, K1, M2) Z planes never
             # round-trip HBM (~1.2 GB saved). Batched signals share the
@@ -202,6 +250,10 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
         planes_w = (planes[0][0].reshape(shp), planes[0][1].reshape(shp))
         planes_d = ((planes[1][0].reshape(shp), planes[1][1].reshape(shp))
                     if planes[1] is not None else None)
+        if phase:
+            # w = |Im(dWx/Wx)|/2pi is invariant under the per-row l2
+            # rescale (same factor on Wx and dWx), so it needs no root
+            planes_d = _WPlane(wpl.reshape(shp))
         if planar_out:
             return planes_w, planes_d
         Wx = jax.lax.complex(*planes_w)

@@ -643,6 +643,64 @@ def _make_cwt_kernel_rb(M1, M2, R, off, L, derivative, RB, interp=False):
     return kernel
 
 
+def _make_cwt_kernel_phase(M1, M2, R, off, L, gamma, interp=False):
+    """Untiled dot3 cwt kernel with the PHASE TRANSFORM fused into the
+    epilogue (r4; the 'held option' of docs/DESIGN.md r3): instead of
+    the two dWx planes, emit ONE w plane
+
+        w = |Im(dWx/Wx)| / 2pi = |(B*C - A*D)| / (mag2 * 2pi),
+        w = +inf where mag2 <= gamma^2   (reference phase_cwt inf-mask,
+                                          old/ssqueezepy/_ssq_cwt.py:272)
+
+    computed AFTER the Nyquist correction, from exactly the same f32
+    row values the reassignment kernel would otherwise rebuild the
+    ratio from — bins and Tx are bitwise-identical to the 4-plane
+    route. HBM saving: one plane write here + one plane read in the
+    reassignment kernel (~2x190 MB at 160k x 293 ~ 1.2 ms at the
+    measured ~300 GB/s effective).
+
+    The phase is NOT differentiable-through by design: w only shapes
+    bin indices, whose gradient is zero (reassign_pallas VJP
+    convention), so the custom VJP routes a zero cotangent to the
+    dropped dWx pipeline."""
+    def pipeline3(zr, zi, w1h, w1l, Tr, Ti, w2h, w2l):
+        X = jnp.concatenate([zr, zi], axis=0)
+        B1 = _dot3(w1h, w1l, X)
+        Br, Bi = B1[:M1], B1[M1:]
+        C2 = jnp.concatenate([Br * Tr - Bi * Ti, Br * Ti + Bi * Tr],
+                             axis=-1)
+        OUT = _dot3_r(C2, w2h, w2l)
+        return OUT.T.reshape(2, R * M1)[:, off:off + L]
+
+    gamma2 = float(gamma) ** 2
+    two_pi = 6.283185307179586
+
+    def kernel(pw_ref, xr_ref, xi_ref, xig_ref, invdt_ref, nwr_ref,
+               nwi_ref, ndr_ref, ndi_ref, w1h_ref, w1l_ref, tr_ref,
+               ti_ref, w2h_ref, w2l_ref, alt_ref, owr_ref, owi_ref,
+               ow_ref):
+        args = (w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
+                w2h_ref[:], w2l_ref[:])
+        p = pw_ref[0]
+        zr = p * xr_ref[0]
+        zi = p * xi_ref[0]
+        alt = alt_ref[0]
+        OW = pipeline3(zr, zi, *args)
+        C = OW[0] + nwr_ref[0, 0, 0] * alt
+        D = OW[1] + nwi_ref[0, 0, 0] * alt
+        s = xig_ref[:] * invdt_ref[0, 0, 0]
+        OD = pipeline3(-zi * s, zr * s, *args)
+        A = OD[0] + ndr_ref[0, 0, 0] * alt
+        B = OD[1] + ndi_ref[0, 0, 0] * alt
+        mag2 = C * C + D * D
+        ratio = (B * C - A * D) / (mag2 * two_pi)
+        w = jnp.where(mag2 > gamma2, jnp.abs(ratio), jnp.inf)
+        owr_ref[0, 0] = C
+        owi_ref[0, 0] = D
+        ow_ref[0, 0] = w
+    return kernel
+
+
 def _make_cwt_kernel(M1, M2, R, off, L, derivative, impl="dot3",
                      interp=False):
     """Untiled cwt-mode kernel. impl selects the MXU issue pattern
@@ -729,9 +787,11 @@ def _make_cwt_kernel(M1, M2, R, off, L, derivative, impl="dot3",
 
 
 @functools.partial(jax.jit, static_argnames=("M", "keep", "derivative",
-                                             "interpret", "tiles", "impl"))
+                                             "interpret", "tiles", "impl",
+                                             "phase_gamma"))
 def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
-                    derivative, interpret, tiles=1, impl="dot3"):
+                    derivative, interpret, tiles=1, impl="dot3",
+                    phase_gamma=None):
     na, K1, M2 = Pw.shape
     b = xr_g.shape[0]           # xr_g/xi_g: (b, K1, M2)
     rows = b * na               # output rows, b-major (i = ib*na + ia)
@@ -741,6 +801,12 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
     r1 = -(-(start + length) // M1)
     R = r1 - r0
     off = start - r0 * M1
+    if phase_gamma is not None:
+        if not (derivative and tiles == 1):
+            raise ValueError("phase_gamma requires derivative=True and "
+                             "an untiled kernel (caller gates on "
+                             "fused_tiles(M, 2) == 1)")
+        impl = "dot3"           # phase epilogue exists for dot3 only
     rb = 0
     if impl.startswith("rb"):
         # row-blocked independent-chain variant (see _make_cwt_kernel_rb):
@@ -814,6 +880,47 @@ def _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, M, keep,
           *[jnp.asarray(w) for w in wmats], jnp.asarray(alt_keep))
         return (owr[:rows, 0], owi[:rows, 0],
                 odr[:rows, 0], odi[:rows, 0])
+
+    if phase_gamma is not None:
+        kernel = _make_cwt_kernel_phase(M1, M2, R, off, length,
+                                        float(phase_gamma), interpret)
+        row3 = lambda i: (i, 0, 0)
+        const2 = lambda i: (0, 0)
+        const3 = lambda i: (0, 0, 0)
+        xmap = const3 if b == 1 else (lambda i: (i // na, 0, 0))
+        pwspec = pl.BlockSpec((1, K1, M2), (row3 if b == 1 else
+                                            (lambda i: (i % na, 0, 0))),
+                              memory_space=pltpu.VMEM)
+        xspec = pl.BlockSpec((1, K1, M2), xmap, memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((K1, M2), const2, memory_space=pltpu.VMEM)
+        wspecs = [pl.BlockSpec(w.shape, const2, memory_space=pltpu.VMEM)
+                  for w in wmats]
+        lane = lambda v: jnp.broadcast_to(v[:, None, None], (rows, 1, 128))
+        scal = jnp.broadcast_to(inv_dt.reshape(1, 1, 1), (1, 1, 128))
+        out3p = lambda: pl.BlockSpec((1, 1, length), row3,
+                                     memory_space=pltpu.VMEM)
+        owr, owi, ow = pl.pallas_call(
+            kernel,
+            grid=(rows,),
+            in_specs=[
+                pwspec, xspec, xspec, gspec,
+                pl.BlockSpec((1, 1, 128), const3, memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec((1, 1, 128), row3,
+                              memory_space=pltpu.VMEM)] * 4
+            + wspecs
+            + [pl.BlockSpec((1, length), const2, memory_space=pltpu.VMEM)],
+            out_specs=(out3p(), out3p(), out3p()),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((rows, 1, length), jnp.float32)
+                for _ in range(3)),
+            interpret=interpret,
+            **({} if interpret else dict(
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=127 * 1024 * 1024))),
+        )(Pw, xr_g, xi_g, xig, scal, lane(nyq_w[0]), lane(nyq_w[1]),
+          lane(nyq_d[0]), lane(nyq_d[1]),
+          *[jnp.asarray(w) for w in wmats], jnp.asarray(alt_keep))
+        return owr[:, 0], owi[:, 0], ow[:, 0]
 
     if T == 1 and impl == "tmerged":
         kernel = _make_cwt_kernel_t(M1, M2, R, off, length, derivative,
@@ -942,10 +1049,12 @@ def _cwt_fused_ref(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d, *, keep,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _cwt_fused_vjp(static, Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d):
-    M, keep, derivative, interpret, tiles, impl = static
+    M, keep, derivative, interpret, tiles, impl = static[:6]
+    phase_gamma = static[6] if len(static) > 6 else None
     return _cwt_fused_call(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d,
                            M=M, keep=keep, derivative=derivative,
-                           interpret=interpret, tiles=tiles, impl=impl)
+                           interpret=interpret, tiles=tiles, impl=impl,
+                           phase_gamma=phase_gamma)
 
 
 def _cwt_fused_fwd(static, Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d):
@@ -957,10 +1066,21 @@ def _cwt_fused_fwd(static, Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d):
 def _cwt_fused_bwd(static, res, g):
     """Backward with NO wasted forward pass: one transpose of the linear
     iFFT stage, then the hand-written adjoint of the elementwise Z-build
-    (Z = Pw * x; derivative pipe dZ = (-Zi, Zr) * xig * inv_dt)."""
+    (Z = Pw * x; derivative pipe dZ = (-Zi, Zr) * xig * inv_dt).
+
+    phase_gamma mode: the third output is the phase w, whose gradient
+    is ZERO by the reassignment-VJP convention (w only shapes bin
+    indices; round/where have zero derivative) — so the dropped dWx
+    pipeline receives a zero cotangent and everything else is the
+    standard path."""
     _, keep, derivative = static[:3]
     Pw, xr_g, xi_g, xig, inv_dt = res
-    g_owr, g_owi, g_odr, g_odi = g
+    if len(static) > 6 and static[6] is not None:
+        g_owr, g_owi, _ = g
+        g_odr = jnp.zeros_like(g_owr)
+        g_odi = jnp.zeros_like(g_owi)
+    else:
+        g_owr, g_owi, g_odr, g_odi = g
     b = xr_g.shape[0]
     na, K1, M2 = Pw.shape
     rows = b * na
@@ -1026,7 +1146,7 @@ def fft_impl() -> str:
 
 def cwt_halfband_fused(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d,
                        keep=None, derivative=True, interpret=None,
-                       tiles=None, impl=None):
+                       tiles=None, impl=None, phase_gamma=None):
     """Fully fused CWT core: filterbank multiply (Z = psih * xhat), the
     four-step half-band iFFT, unpad and Nyquist correction — one Pallas
     kernel, no Z materialization in HBM.
@@ -1038,6 +1158,11 @@ def cwt_halfband_fused(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d,
     nyq_w/nyq_d: ((b*na,), (b*na,)) Nyquist real/imag planes for Wx and
     dWx, rows b-major. Returns (Wxr, Wxi, dWxr, dWxi) each (b*na, L)
     b-major; the d planes are zeros when derivative=False.
+
+    `phase_gamma` (r4): fuse the phase transform into the epilogue and
+    return (Wxr, Wxi, w) — 3 planes instead of 4, w = +inf where
+    |Wx| <= gamma (see _make_cwt_kernel_phase). Requires derivative and
+    an untiled shape (fused_tiles(M, 2) == 1); dot3 only.
     """
     if interpret is None:
         interpret = interpret_mode()
@@ -1056,7 +1181,9 @@ def cwt_halfband_fused(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d,
         raise ValueError(f"tiles={tiles} must divide M2={M2}")
     if impl is None:
         impl = fft_impl()
+    pg = None if phase_gamma is None else float(phase_gamma)
     return _cwt_fused_vjp(
-        (M, tuple(keep), bool(derivative), interpret, int(tiles), impl),
+        (M, tuple(keep), bool(derivative), interpret, int(tiles), impl,
+         pg),
         Pw, xr_g, xi_g, jnp.asarray(xig), jnp.asarray(inv_dt),
         tuple(nyq_w), tuple(nyq_d))

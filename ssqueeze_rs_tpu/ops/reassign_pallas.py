@@ -41,22 +41,29 @@ def _round_half_even(x):
 
 
 def _bin_indices(mode, params, gamma, flipud, transform, nf, tile, n_valid,
-                 wr, wi, dr, di, sfs, tile_idx=None):
+                 wr, wi, dr, di, sfs, tile_idx=None, w_pre=None):
     """Shared fwd/bwd binning: (k, mask) from the phase transform and the
     analytic closed forms (reference algos.py:859-984). k = -1 where
     masked (matches no bin). `tile_idx`: traced grid position of this
     time tile (defaults to pl.program_id(0), the reassignment kernels'
-    grid layout; the fused ssq_stft kernel passes its own)."""
+    grid layout; the fused ssq_stft kernel passes its own).
+    `w_pre`: phase transform PRECOMPUTED upstream (the cwt kernel's
+    fused phase epilogue, fft_pallas._make_cwt_kernel_phase), +inf
+    where gamma-masked — dr/di are unused then (pass None)."""
     omax_f = float(nf - 1)
-    gamma2 = float(gamma) ** 2
-    C, D, A, B = wr, wi, dr, di
-    mag2 = C * C + D * D
-    ratio = (B * C - A * D) / (mag2 * _TWO_PI)
-    if transform == "stft":
-        w = jnp.abs(sfs - ratio)
+    if w_pre is not None:
+        w = w_pre
+        mask = w < jnp.inf
     else:
-        w = jnp.abs(ratio)
-    mask = mag2 > gamma2
+        gamma2 = float(gamma) ** 2
+        C, D, A, B = wr, wi, dr, di
+        mag2 = C * C + D * D
+        ratio = (B * C - A * D) / (mag2 * _TWO_PI)
+        if transform == "stft":
+            w = jnp.abs(sfs - ratio)
+        else:
+            w = jnp.abs(ratio)
+        mask = mag2 > gamma2
     if n_valid % tile:
         # ragged last tile: inputs are NOT padded (saves 4 full-array
         # pad copies); columns past n_valid may hold garbage -> mask
@@ -102,14 +109,26 @@ def _skip_mode() -> str:
 
 
 def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
-                 n_valid, skip="0"):
-    def kernel(wr_ref, wi_ref, dr_ref, di_ref, const_ref, sfs_ref,
-               outr_ref, outi_ref, k_ref, vr_ref, vi_ref):
-        C = wr_ref[:]
-        D = wi_ref[:]
-        k, mask = _bin_indices(mode, params, gamma, flipud, transform, nf,
-                               tile, n_valid, C, D, dr_ref[:], di_ref[:],
-                               sfs_ref[:])
+                 n_valid, skip="0", phase_in=False):
+    def kernel(*refs):
+        if phase_in:
+            # 3-plane contract (fused phase epilogue upstream): the w
+            # plane replaces both dWx planes — one fewer HBM read here
+            (wr_ref, wi_ref, w_ref, const_ref, sfs_ref,
+             outr_ref, outi_ref, k_ref, vr_ref, vi_ref) = refs
+            C = wr_ref[:]
+            D = wi_ref[:]
+            k, mask = _bin_indices(mode, params, gamma, flipud, transform,
+                                   nf, tile, n_valid, C, D, None, None,
+                                   sfs_ref[:], w_pre=w_ref[:])
+        else:
+            (wr_ref, wi_ref, dr_ref, di_ref, const_ref, sfs_ref,
+             outr_ref, outi_ref, k_ref, vr_ref, vi_ref) = refs
+            C = wr_ref[:]
+            D = wi_ref[:]
+            k, mask = _bin_indices(mode, params, gamma, flipud, transform,
+                                   nf, tile, n_valid, C, D, dr_ref[:],
+                                   di_ref[:], sfs_ref[:])
 
         cb = const_ref[:]
         # stage per-row (k, vals) in VMEM scratch; Mosaic supports dynamic
@@ -168,10 +187,13 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
 
 @functools.partial(jax.jit, static_argnames=("mode", "flipud", "transform",
                                              "nf", "plan", "gamma_f",
-                                             "interpret"))
+                                             "interpret", "phase_in"))
 def _reassign_pallas_2d(wr, wi, dr, di, const_arr, Sfs, *, mode, flipud,
-                        transform, nf, plan, gamma_f, interpret):
-    """wr/wi/dr/di: (na, n) real planes; returns (Txr, Txi) (nf, n)."""
+                        transform, nf, plan, gamma_f, interpret,
+                        phase_in=False):
+    """wr/wi/dr/di: (na, n) real planes; returns (Txr, Txi) (nf, n).
+    phase_in: dr is the PRECOMPUTED w plane (di unused) — 3 input
+    planes instead of 4."""
     na, n = wr.shape
     rdtype = wr.dtype
 
@@ -182,16 +204,17 @@ def _reassign_pallas_2d(wr, wi, dr, di, const_arr, Sfs, *, mode, flipud,
     # column index (saves 4 full-array pad copies); in interpret mode
     # (CPU tests) Pallas requires divisible shapes, so pad there.
     pad = grid_n * TILE - n if interpret else 0
+    planes = (wr, wi, dr) if phase_in else (wr, wi, dr, di)
     if pad:
-        wr, wi, dr, di = (jnp.pad(z, ((0, 0), (0, pad)))
-                          for z in (wr, wi, dr, di))
+        planes = tuple(jnp.pad(z, ((0, 0), (0, pad))) for z in planes)
 
     constb = jnp.broadcast_to(const_arr.astype(rdtype)[:, None], (na, 1))
     sfsb = jnp.broadcast_to(Sfs.astype(rdtype)[:, None], (na, 1))
 
     params = dict(plan)
     kernel = _make_kernel(mode, params, gamma_f, flipud, transform, nf, na,
-                          TILE, n_valid=n, skip=_skip_mode())
+                          TILE, n_valid=n, skip=_skip_mode(),
+                          phase_in=phase_in)
 
     grid = (grid_n,)
     bspec_in = pl.BlockSpec((na, TILE), lambda i: (0, i),
@@ -204,8 +227,7 @@ def _reassign_pallas_2d(wr, wi, dr, di, const_arr, Sfs, *, mode, flipud,
     outr, outi = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[bspec_in, bspec_in, bspec_in, bspec_in, bspec_col,
-                  bspec_col],
+        in_specs=[bspec_in] * len(planes) + [bspec_col, bspec_col],
         out_specs=(bspec_out, bspec_out),
         out_shape=(jax.ShapeDtypeStruct((nf, n + pad), rdtype),
                    jax.ShapeDtypeStruct((nf, n + pad), rdtype)),
@@ -215,21 +237,31 @@ def _reassign_pallas_2d(wr, wi, dr, di, const_arr, Sfs, *, mode, flipud,
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024))),
-    )(wr, wi, dr, di, constb, sfsb)
+    )(*planes, constb, sfsb)
 
     return outr[:, :n], outi[:, :n]
 
 
 def _make_bwd_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
-                     n_valid):
+                     n_valid, phase_in=False):
     """Backward: gw[i, j] = const[i] * g[k(i, j), j] for unmasked
     entries — a data-dependent GATHER, mirrored from the forward's
-    one-hot scatter (bins recomputed; residuals stay small)."""
-    def kernel(wr_ref, wi_ref, dr_ref, di_ref, const_ref, sfs_ref,
-               gr_ref, gi_ref, gwr_ref, gwi_ref, k_ref):
-        k, _ = _bin_indices(mode, params, gamma, flipud, transform, nf,
-                            tile, n_valid, wr_ref[:], wi_ref[:],
-                            dr_ref[:], di_ref[:], sfs_ref[:])
+    one-hot scatter (bins recomputed; residuals stay small).
+    phase_in: k recomputed from the single precomputed w plane (the
+    Wx planes are not even read)."""
+    def kernel(*refs):
+        if phase_in:
+            (w_ref, const_ref, sfs_ref, gr_ref, gi_ref,
+             gwr_ref, gwi_ref, k_ref) = refs
+            k, _ = _bin_indices(mode, params, gamma, flipud, transform,
+                                nf, tile, n_valid, None, None, None, None,
+                                sfs_ref[:], w_pre=w_ref[:])
+        else:
+            (wr_ref, wi_ref, dr_ref, di_ref, const_ref, sfs_ref,
+             gr_ref, gi_ref, gwr_ref, gwi_ref, k_ref) = refs
+            k, _ = _bin_indices(mode, params, gamma, flipud, transform, nf,
+                                tile, n_valid, wr_ref[:], wi_ref[:],
+                                dr_ref[:], di_ref[:], sfs_ref[:])
         k_ref[:] = k
         rows = jax.lax.broadcasted_iota(jnp.int32, (nf, tile), 0)
         GR = gr_ref[:]
@@ -254,27 +286,29 @@ def _make_bwd_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
 
 @functools.partial(jax.jit, static_argnames=("mode", "flipud", "transform",
                                              "nf", "plan", "gamma_f",
-                                             "interpret"))
+                                             "interpret", "phase_in"))
 def _reassign_bwd_2d(wr, wi, dr, di, const_arr, Sfs, gr, gi, *, mode,
-                     flipud, transform, nf, plan, gamma_f, interpret):
-    """VJP planes: (gwr, gwi) (na, n) from cotangents (gr, gi) (nf, n)."""
-    na, n = wr.shape
-    rdtype = wr.dtype
+                     flipud, transform, nf, plan, gamma_f, interpret,
+                     phase_in=False):
+    """VJP planes: (gwr, gwi) (na, n) from cotangents (gr, gi) (nf, n).
+    phase_in: dr is the precomputed w plane; wr/wi/di are not read."""
+    na, n = (dr if phase_in else wr).shape
+    rdtype = (dr if phase_in else wr).dtype
 
     import os
     TILE = int(os.environ.get("SSQ_TPU_REASSIGN_TILE", "512"))
     grid_n = -(-n // TILE)
     pad = grid_n * TILE - n if interpret else 0
+    planes = (dr,) if phase_in else (wr, wi, dr, di)
     if pad:
-        wr, wi, dr, di = (jnp.pad(z, ((0, 0), (0, pad)))
-                          for z in (wr, wi, dr, di))
+        planes = tuple(jnp.pad(z, ((0, 0), (0, pad))) for z in planes)
         gr, gi = (jnp.pad(z, ((0, 0), (0, pad))) for z in (gr, gi))
 
     constb = jnp.broadcast_to(const_arr.astype(rdtype)[:, None], (na, 1))
     sfsb = jnp.broadcast_to(Sfs.astype(rdtype)[:, None], (na, 1))
 
     kernel = _make_bwd_kernel(mode, dict(plan), gamma_f, flipud, transform,
-                              nf, na, TILE, n_valid=n)
+                              nf, na, TILE, n_valid=n, phase_in=phase_in)
     bspec_in = pl.BlockSpec((na, TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     bspec_col = pl.BlockSpec((na, 1), lambda i: (0, 0),
@@ -285,8 +319,8 @@ def _reassign_bwd_2d(wr, wi, dr, di, const_arr, Sfs, gr, gi, *, mode,
     gwr, gwi = pl.pallas_call(
         kernel,
         grid=(grid_n,),
-        in_specs=[bspec_in, bspec_in, bspec_in, bspec_in, bspec_col,
-                  bspec_col, bspec_g, bspec_g],
+        in_specs=[bspec_in] * len(planes) + [bspec_col, bspec_col,
+                                             bspec_g, bspec_g],
         out_specs=(bspec_in, bspec_in),
         out_shape=(jax.ShapeDtypeStruct((na, n + pad), rdtype),
                    jax.ShapeDtypeStruct((na, n + pad), rdtype)),
@@ -294,7 +328,7 @@ def _reassign_bwd_2d(wr, wi, dr, di, const_arr, Sfs, gr, gi, *, mode,
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024))),
-    )(wr, wi, dr, di, constb, sfsb, gr, gi)
+    )(*planes, constb, sfsb, gr, gi)
     return gwr[:, :n], gwi[:, :n]
 
 
@@ -311,9 +345,14 @@ def _reassign_with_vjp(static, wr, wi, dr, di, const_arr, Sfs):
 
     `static[7]` selects the forward implementation: 'vpu' (one-hot row
     loop) or 'mxu' (digit-split matmul accumulation); both produce the
-    same binning decisions, so the shared backward applies to either."""
-    mode, flipud, transform, nf, plan, gamma_f, interpret, impl, splits =         static
-    if impl == "mxu" and wr.dtype == jnp.float32:
+    same binning decisions, so the shared backward applies to either.
+    `static[9]` (phase_in, r4): dr is the PRECOMPUTED w plane from the
+    cwt kernel's fused phase epilogue and di is an unused placeholder —
+    the kernel reads 3 planes instead of 4."""
+    (mode, flipud, transform, nf, plan, gamma_f, interpret, impl,
+     splits) = static[:9]
+    phase_in = bool(static[9]) if len(static) > 9 else False
+    if impl == "mxu" and wr.dtype == jnp.float32 and not phase_in:
         return _reassign_mxu_2d(wr, wi, dr, di, const_arr, Sfs, mode=mode,
                                 flipud=flipud, transform=transform, nf=nf,
                                 plan=plan, gamma_f=gamma_f,
@@ -321,7 +360,7 @@ def _reassign_with_vjp(static, wr, wi, dr, di, const_arr, Sfs):
     return _reassign_pallas_2d(wr, wi, dr, di, const_arr, Sfs, mode=mode,
                                flipud=flipud, transform=transform, nf=nf,
                                plan=plan, gamma_f=gamma_f,
-                               interpret=interpret)
+                               interpret=interpret, phase_in=phase_in)
 
 
 def _reassign_fwd(static, wr, wi, dr, di, const_arr, Sfs):
@@ -331,13 +370,15 @@ def _reassign_fwd(static, wr, wi, dr, di, const_arr, Sfs):
 
 def _reassign_bwd(static, res, g):
     mode, flipud, transform, nf, plan, gamma_f, interpret = static[:7]
+    phase_in = bool(static[9]) if len(static) > 9 else False
     wr, wi, dr, di, const_arr, Sfs = res
     gr, gi = g
     gwr, gwi = _reassign_bwd_2d(wr, wi, dr, di, const_arr, Sfs,
                                 gr.astype(wr.dtype), gi.astype(wr.dtype),
                                 mode=mode, flipud=flipud,
                                 transform=transform, nf=nf, plan=plan,
-                                gamma_f=gamma_f, interpret=interpret)
+                                gamma_f=gamma_f, interpret=interpret,
+                                phase_in=phase_in)
     zeros = jnp.zeros_like
     return (gwr, gwi, zeros(dr), zeros(di), zeros(const_arr), zeros(Sfs))
 
@@ -526,12 +567,17 @@ def _planes(z, rdtype):
 
 
 def reassign_pallas(Wx, dWx, const_arr, gamma, Sfs, plan_params, *, mode,
-                    flipud, transform, nf, interpret=None):
+                    flipud, transform, nf, interpret=None, w_plane=None):
     """Fused reassignment via the Pallas kernel.
 
     Wx/dWx: (..., na, n) complex arrays OR (real, imag) plane tuples —
     the planar CWT path feeds planes directly, skipping the
     complexify/split round-trip. Returns complex Tx (..., nf, n).
+
+    `w_plane` (r4): phase transform PRECOMPUTED by the cwt kernel's
+    fused epilogue (fft_pallas phase_gamma mode; +inf where
+    gamma-masked) — dWx is ignored (pass None) and the kernel reads 3
+    planes instead of 4, saving one full HBM plane read.
 
     `plan_params`: dict of host floats (vlmin/dvl/... per `mode`).
     Falls back to interpreter mode off-TPU (CPU tests).
@@ -552,7 +598,12 @@ def reassign_pallas(Wx, dWx, const_arr, gamma, Sfs, plan_params, *, mode,
     rdtype = (jnp.float64 if cdtype in (jnp.complex128, jnp.float64)
               else jnp.float32)
     wr, wi = _planes(Wx, rdtype)
-    dr, di = _planes(dWx, rdtype)
+    phase_in = w_plane is not None
+    if phase_in:
+        dr = w_plane.astype(rdtype)
+        di = dr                    # placeholder, never read (phase_in)
+    else:
+        dr, di = _planes(dWx, rdtype)
     out_cdtype = (jnp.complex128 if rdtype == jnp.float64 else jnp.complex64)
 
     batch_shape = wr.shape[:-2]
@@ -560,7 +611,7 @@ def reassign_pallas(Wx, dWx, const_arr, gamma, Sfs, plan_params, *, mode,
     wr, wi, dr, di = (z.reshape((-1, na, n)) for z in (wr, wi, dr, di))
 
     static = (mode, flipud, transform, nf, plan, float(gamma), interpret,
-              impl, splits)
+              impl, splits, phase_in)
     f = functools.partial(_reassign_with_vjp, static)
     if wr.shape[0] == 1:
         txr, txi = f(wr[0], wi[0], dr[0], di[0], const_arr, Sfs)

@@ -52,7 +52,7 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
     """
     difforder = check_ssqueezing_args(squeezing, maprange, wavelet, difftype,
                                       difforder, get_w, transform="cwt")
-    planes_w = planes_d = None
+    planes_w = planes_d = w_plane_arr = None
     x = jnp.asarray(x)
     N = x.shape[-1]
     dt, fs, _ = process_fs_and_t(fs, t, N)
@@ -112,14 +112,35 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
                 fb_token = _cache_filterbank(
                     wavelet, np.asarray(scales).squeeze(-1),
                     xp_.shape[-1])
+            from .cwt import cwt_phase_fusable, _WPlane
+            import os as _os
+            engines = (use_mxu_fft(), use_pallas_kernels())
+            # r4 fused-phase gate: compute w INSIDE the cwt kernel (one
+            # plane out instead of two dWx planes; ~1.2 ms HBM saved at
+            # the headline shape). Needs a concrete host gamma and the
+            # trig phase (the fused path's own difftype); get_dWx
+            # requires the real dWx planes. SSQ_TPU_PHASE_FUSED=0
+            # disables for A/B (read at call time, baked via this
+            # python branch, so in-process flips are safe).
+            phase_gamma = None
+            if (not get_dWx and difftype == "trig" and
+                    isinstance(gamma, (type(None), int, float)) and
+                    _os.environ.get("SSQ_TPU_PHASE_FUSED", "1") == "1" and
+                    cwt_phase_fusable(xp_.shape[-1], wavelet, xx.dtype,
+                                      engines)):
+                phase_gamma = float(gamma if gamma is not None
+                                    else 10 * EPS32)
             planes_w, planes_d = cwt_core(
                 xp_, sc, jnp.asarray(dt, xx.dtype), wavelet=wavelet,
                 derivative=True, l1_norm=True, N=N, n1=n1_, rpadded=False,
-                planar_out=True,
-                engines=(use_mxu_fft(), use_pallas_kernels()),
-                fb_token=fb_token)
+                planar_out=True, engines=engines,
+                fb_token=fb_token, phase_gamma=phase_gamma)
             Wx = jax.lax.complex(*planes_w)
-            dWx = (jax.lax.complex(*planes_d) if get_dWx else planes_d)
+            if isinstance(planes_d, _WPlane):
+                w_plane_arr = planes_d.w
+                dWx = planes_d = None
+            else:
+                dWx = (jax.lax.complex(*planes_d) if get_dWx else planes_d)
         else:
             Wx, scales_out, dWx = cwt(x, wavelet, scales=scales, fs=fs,
                                       nv=nv, l1_norm=True, derivative=True,
@@ -129,6 +150,8 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
 
     if gamma is None:
         gamma = 10 * (EPS64 if Wx.dtype == jnp.complex128 else EPS32)
+    # (w_plane_arr, when set, already folded THIS gamma into the kernel
+    # epilogue: phase_gamma = float(gamma or 10*EPS32) above)
 
     # phase transform if requested explicitly
     if get_w:
@@ -162,7 +185,8 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
                              squeezing=squeezing, maprange=maprange,
                              wavelet=wavelet, gamma=gamma,
                              was_padded=was_padded, flipud=flipud, dWx=_dWx,
-                             transform="cwt", wx_planes=planes_w)
+                             transform="cwt", wx_planes=planes_w,
+                             w_plane=w_plane_arr)
 
     if difftype == "numeric":
         Wx = Wx[..., 4:-4]

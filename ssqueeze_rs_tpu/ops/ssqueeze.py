@@ -290,13 +290,18 @@ def check_ssqueezing_args(squeezing, maprange=None, wavelet=None,
 def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
              t=None, squeezing="sum", maprange="maximal", wavelet=None,
              gamma=None, was_padded=True, flipud=False, dWx=None,
-             transform="cwt", wx_planes=None):
+             transform="cwt", wx_planes=None, w_plane=None):
     """Synchrosqueeze a CWT or STFT (reference parity: ssqueezing.py:13-224).
 
     Returns (Tx, ssq_freqs). When `w` is None the fused path is used
     (phase + bin + scatter in one program), requiring `dWx` and `gamma`.
     `dWx` and `wx_planes` may be (real, imag) f32 plane tuples (planar CWT
     path) — consumed directly by the Pallas kernel, no c64 round-trip.
+    `w_plane` (r4): phase transform already computed IN the cwt kernel
+    (fft_pallas phase_gamma epilogue; +inf = gamma-masked) — routed to
+    the Pallas kernel's 3-plane contract; `dWx` may then be None. Unlike
+    `w` (host/two-step semantics, XLA scatter), this stays on the fused
+    kernel path.
 
     NOTE (reference-parity semantics, ssqueezing.py:197-205): with
     squeezing='lebesgue'/'abs'/callable and `w=None`, the phase transform
@@ -304,7 +309,7 @@ def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
     `ssqueeze_fast` does. Pass `get_w=True` upstream (two-step path) to
     compute phases from the original Wx.
     """
-    if w is None and (dWx is None or gamma is None):
+    if w is None and w_plane is None and (dWx is None or gamma is None):
         raise ValueError("if `w` is None, `dWx` and `gamma` must not be.")
     if isinstance(w, np.ndarray) and (w < 0).any():
         # reference guard (ssqueezing.py): log2 of a negative phase value
@@ -377,16 +382,24 @@ def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
         from .reassign_pallas import reassign_pallas
         wx_in = (wx_planes if (wx_planes is not None and squeezing == "sum")
                  else Wx)
-        dwx_in = dWx if isinstance(dWx, tuple) else jnp.asarray(dWx)
+        if w_plane is not None:
+            dwx_in = None
+        else:
+            dwx_in = dWx if isinstance(dWx, tuple) else jnp.asarray(dWx)
         Tx = reassign_pallas(wx_in, dwx_in,
                              jnp.asarray(const_arr, rdtype),
                              float(gamma), Sfs_arr, params_host, mode=mode,
                              flipud=flipud, transform=transform,
-                             nf=len(ssq_freqs))
+                             nf=len(ssq_freqs), w_plane=w_plane)
     else:
         params = {k: (jnp.asarray(v) if k != "idx1" else
                       jnp.asarray(v, jnp.int32))
                   for k, v in params_host.items()}
+        if w_plane is not None:
+            # precomputed-w plane degrades cleanly to the two-step XLA
+            # path: reassign(fused=False) masks on isinf(w) — exactly
+            # the w_plane contract
+            w, fused = w_plane, False
         if isinstance(dWx, tuple):
             dWx = jax.lax.complex(*dWx).astype(Wx.dtype)
         w_or_dWx = dWx if fused else w

@@ -769,3 +769,94 @@ def chunked_issq_stft(Tx, mesh: Mesh, window=None, win_len=None, n_fft=None,
                                batch_axis_name)
     fn = shard_map(shard_fn, mesh, (in_spec,), out_spec)
     return fn(Tx)
+
+
+# -- collective byte accounting (host-side planning) ---------------------------
+def comm_report(transform: str, N: int, n_shards: int, *, batch: int = 1,
+                wavelet="gmw", scales="log-piecewise", nv=32, fs=None,
+                n_fft=None, win_len=None, hop_len=1, window=None,
+                derivative=None, halo=None, exact=True, exact_tol=1e-6,
+                dtype="float32"):
+    """Bytes each device SENDS per collective for one chunked transform
+    call — the comm side of the scaling-efficiency model (SURVEY §2.4
+    P10; the reference's >= 90% multi-host target, BASELINE.md).
+
+    Pure host-side planning: the byte counts are deterministic functions
+    of the transform config (the same planning code the transforms run),
+    so this reports exactly what `lax.ppermute`/`all_gather`/`all_to_all`
+    move without instrumenting the traced path. Ring-algorithm
+    accounting: an all_gather sends (n-1) shard copies per device; an
+    all_to_all sends (n-1)/n of the local block.
+
+    Returns a dict: per-collective entries (op, what, calls,
+    bytes_per_device) + totals. Used by tools/comm_model.py to fit
+    predicted-vs-measured overhead and by the README's shard-length
+    guidance."""
+    item = np.dtype(dtype).itemsize
+    citem = 2 * item
+    n = int(n_shards)
+    if N % n:
+        raise ValueError(f"N={N} not divisible by n_shards={n}")
+    S = N // n
+    ent = []
+
+    def add(op, what, calls, bytes_per_device):
+        ent.append(dict(op=op, what=what, calls=int(calls),
+                        bytes_per_device=int(bytes_per_device)))
+
+    info = dict(transform=transform, N=int(N), n_shards=n, S=S,
+                batch=int(batch), dtype=str(dtype))
+
+    if transform in ("stft", "ssq_stft"):
+        n_fft = int(n_fft or min(N // hop_len, 512))
+        _, n1, n2 = pad_params(N, N + n_fft - 1)
+        Hl, Hr = n1, n2
+        add("ppermute", "signal halo (left+right)", 2,
+            (Hl + Hr) * batch * item)
+        info.update(halo=(Hl, Hr))
+    elif transform == "istft":
+        n_fft = int(n_fft)
+        h = n_fft // 2
+        hop = int(hop_len)
+        Hl = -(-(n_fft - 1 - h) // hop)
+        Hr = -(-h // hop)
+        n_freqs = n_fft // 2 + 1
+        add("ppermute", "frame-column halo (left+right)", 2,
+            (Hl + Hr) * n_freqs * batch * citem)
+        info.update(halo=(Hl, Hr))
+    elif transform in ("cwt", "ssq_cwt"):
+        if derivative is None:
+            derivative = transform == "ssq_cwt"
+        wavelet_b, scales_arr, scaletype, nv, dt, fs = _plan_cwt(
+            (batch, N), wavelet, scales, nv, fs)
+        if halo is None:
+            halo = default_cwt_halo(wavelet_b, float(scales_arr.max()))
+        H = int(min(halo, S - 1))
+        na = len(scales_arr)
+        Se = S + 2 * H
+        n_up = pad_params(Se)[0]
+        if exact:
+            g0, g1 = _exact_rows(wavelet_b, scales_arr, H, n_up, exact_tol)
+        else:
+            g0, g1 = 0, na
+        nag = na - (g1 - g0)
+        nag_s = -(-nag // n) if nag else 0
+        npipes = 2 if derivative else 1
+        if g1 > g0:
+            add("ppermute", "signal halo (left+right)", 2,
+                2 * H * batch * item)
+        if nag:
+            add("all_gather", "full signal for global-path rows",
+                1, (n - 1) * S * batch * item)
+            add("all_to_all", "global-path rows -> local columns",
+                npipes, ((n - 1) * nag_s * N * batch * citem) // n)
+        info.update(halo=H, rows_local=g1 - g0, rows_global=nag,
+                    derivative=bool(derivative))
+    else:
+        raise ValueError(f"unknown transform {transform!r}")
+
+    info["collectives"] = ent
+    info["total_bytes_per_device"] = sum(e["calls"] * e["bytes_per_device"]
+                                         for e in ent)
+    info["total_calls"] = sum(e["calls"] for e in ent)
+    return info

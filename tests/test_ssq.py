@@ -170,3 +170,52 @@ def test_ssqueeze_rejects_negative_w():
     with pytest.raises(ValueError, match="negatives"):
         ssqueeze(Wx, w, np.linspace(0.01, 0.5, 4), np.logspace(0, 1, 4),
                  transform="cwt")
+
+
+def test_phase_fused_path_matches_standard():
+    """r4 fused-phase epilogue (fft_pallas phase_gamma -> reassign
+    3-plane contract): Tx/Wx BITWISE-equal to the 4-plane route, and
+    gradients identical (w carries zero cotangent by convention on
+    both paths)."""
+    import os
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(4096).astype(np.float32)
+
+    def run(flag, **kw):
+        os.environ["SSQ_TPU_PHASE_FUSED"] = flag
+        try:
+            return ssq_cwt(x, ("gmw", {"beta": 8.0}),
+                           scales="log-piecewise", fs=1000.0,
+                           dtype="float32", **kw)
+        finally:
+            os.environ.pop("SSQ_TPU_PHASE_FUSED", None)
+
+    for kw in ({}, {"squeezing": "lebesgue"}, {"gamma": 1e-3},
+               {"flipud": False}):
+        a, b = run("0", **kw), run("1", **kw)
+        assert np.array_equal(np.asarray(a[0]), np.asarray(b[0])), kw
+        assert np.array_equal(np.asarray(a[1]), np.asarray(b[1])), kw
+
+    # get_dWx must disable the fusion (needs real dWx planes) and stay
+    # correct
+    a = run("0", get_dWx=True)
+    b = run("1", get_dWx=True)
+    assert np.array_equal(np.asarray(a[4]), np.asarray(b[4]))
+
+    def loss(xx, flag):
+        os.environ["SSQ_TPU_PHASE_FUSED"] = flag
+        try:
+            Tx, *_ = ssq_cwt(xx, ("gmw", {"beta": 8.0}),
+                             scales="log-piecewise", fs=1000.0,
+                             dtype="float32")
+        finally:
+            os.environ.pop("SSQ_TPU_PHASE_FUSED", None)
+        return jnp.sum(jnp.abs(Tx) ** 2)
+
+    xj = jnp.asarray(x[:2048])
+    g0 = jax.grad(lambda z: loss(z, "0"))(xj)
+    g1 = jax.grad(lambda z: loss(z, "1"))(xj)
+    assert jnp.array_equal(g0, g1)
