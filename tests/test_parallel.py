@@ -445,3 +445,52 @@ def test_chunked_istft_ragged_N_rejected(mesh):
     Sx = jnp.zeros((65, 128), dtype=jnp.complex128)
     with pytest.raises(ValueError, match="hop_len \\* n_frames"):
         chunked_istft(Sx, mesh, n_fft=128, hop_len=2, N=255)
+
+
+def test_comm_report_byte_accounting():
+    """comm_report counts are exact functions of the planning (hand-
+    derived here for stft/istft; structural invariants for the cwt
+    hybrid), and tools/comm_model.cross_bytes is monotone in P."""
+    from ssqueeze_rs_tpu.parallel import comm_report
+
+    # stft: ppermute of (Hl + Hr) signal samples, Hl+Hr = n_fft - 1
+    r = comm_report("stft", 65536, 8, n_fft=512, hop_len=4)
+    (pp,) = r["collectives"]
+    assert pp["op"] == "ppermute" and pp["calls"] == 2
+    assert pp["bytes_per_device"] == (512 - 1) * 4
+    assert r["total_bytes_per_device"] == 2 * (512 - 1) * 4
+
+    # istft: frame-column halo, complex64 columns
+    r = comm_report("istft", 65536, 8, n_fft=256, hop_len=4)
+    (pp,) = r["collectives"]
+    Hl, Hr = r["halo"]
+    n_freqs = 256 // 2 + 1
+    assert pp["bytes_per_device"] == (Hl + Hr) * n_freqs * 8
+
+    # ssq_cwt hybrid: halo ppermute + signal all_gather + W all_to_all
+    r = comm_report("ssq_cwt", 65536, 8, scales="log", nv=8)
+    ops = {e["op"]: e for e in r["collectives"]}
+    assert set(ops) == {"ppermute", "all_gather", "all_to_all"}
+    S = 65536 // 8
+    assert ops["ppermute"]["bytes_per_device"] == 2 * r["halo"] * 4
+    assert ops["all_gather"]["bytes_per_device"] == 7 * S * 4
+    nag = r["rows_global"]
+    nag_s = -(-nag // 8)
+    assert ops["all_to_all"]["calls"] == 2        # Wx + dWx pipelines
+    assert ops["all_to_all"]["bytes_per_device"] == \
+        (7 * nag_s * 65536 * 8) // 8
+    assert r["rows_local"] + r["rows_global"] > 0
+
+    # exact=False: no global path, only the halo exchange
+    r2 = comm_report("ssq_cwt", 65536, 8, scales="log", nv=8, exact=False)
+    assert [e["op"] for e in r2["collectives"]] == ["ppermute"]
+
+    import importlib.util as _iu
+    import os as _os
+    spec = _iu.spec_from_file_location(
+        "comm_model", _os.path.join(_os.path.dirname(__file__), "..",
+                                    "tools", "comm_model.py"))
+    cm = _iu.module_from_spec(spec)
+    spec.loader.exec_module(cm)
+    xs = [cm.cross_bytes(r, P) for P in (1, 2, 4, 8)]
+    assert xs[0] == 0 and xs[1] < xs[2] < xs[3]

@@ -106,6 +106,9 @@ def _make_kernel(R, off, ablate):
 
 @functools.partial(jax.jit, static_argnames=("ablate", "interpret"))
 def run(Pw, xr_g, xi_g, xig, ablate, interpret=False):
+    if ablate.startswith("dma"):
+        return run_dma(Pw, ablate)
+
     start, length = START, L
     r0 = start // M1
     r1 = -(-(start + length) // M1)
@@ -147,6 +150,43 @@ def run(Pw, xr_g, xi_g, xig, ablate, interpret=False):
     return sum(jnp.sum(o) for o in outs)
 
 
+@functools.partial(jax.jit, static_argnames=("ablate",))
+def run_dma(Pw, ablate):
+    """DMA-floor structure probes:
+    dmaonly : 4 output planes, Pw streamed per row (the baseline floor)
+    dma1    : 1 output plane  (bytes ∝ planes? -> bandwidth-bound)
+    dmanoin : 4 planes, Pw block constant (no input streaming)
+    dmarb8  : 4 planes, 8 rows per grid step (37 steps, same bytes)
+    """
+    rb = 8 if ablate == "dmarb8" else 1
+    nplanes = 1 if ablate == "dma1" else 4
+    rows = NA - (NA % rb) if rb > 1 else NA   # 288 for rb=8 (drop ragged)
+
+    def kernel(pw_ref, *o_refs):
+        z = jnp.zeros((L,), jnp.float32)
+        for o_ref in o_refs:
+            for r in range(rb):
+                o_ref[r, 0] = z
+
+    row3 = lambda i: (i, 0, 0)
+    const3 = lambda i: (0, 0, 0)
+    pw_map = const3 if ablate == "dmanoin" else row3
+    outs = pl.pallas_call(
+        kernel,
+        grid=(rows // rb,),
+        in_specs=[pl.BlockSpec((rb, K1, M2), pw_map,
+                               memory_space=pltpu.VMEM)],
+        out_specs=tuple(pl.BlockSpec((rb, 1, L), row3,
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(nplanes)),
+        out_shape=tuple(jax.ShapeDtypeStruct((rows, 1, L), jnp.float32)
+                        for _ in range(nplanes)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+    )(Pw[:rows])
+    return sum(jnp.sum(o) for o in outs)
+
+
 def main():
     import os
     interp = bool(int(os.environ.get("SSQ_ABLATE_INTERPRET", "0")))
@@ -166,6 +206,8 @@ def main():
 
     variants = ("full", "nosplit", "nostage1", "nostage2", "nodots",
                 "notwiddle", "nolayout", "dmaonly")
+    if "--dma" in sys.argv:
+        variants = ("dmaonly", "dma1", "dmanoin", "dmarb8")
     for ab in variants:
         try:
             f = lambda i, ab=ab: run(Pw + jnp.float32(i) * 0, xr, xi, xig,

@@ -142,10 +142,17 @@ def main():
 
         sizes = (4096, 8192, 16384)
         points = []      # (cross_bytes, overhead, dict-row)
+        os.environ["SCALING_K"] = "8"   # workers read it at import
+        sb.K = 8                        # this process already imported
         for NB in sizes:
-            t1 = sb._bench_one(mesh, "ssq_cwt", NB * N_DEV)
+            # interleave baseline around the 2-proc run (1-core host:
+            # scheduler/thermal drift between runs exceeds the comm
+            # signal; min over surrounding baselines cancels the bias)
+            t1a = sb._bench_one(mesh, "ssq_cwt", NB * N_DEV)
             os.environ["SCALING_N_BASE"] = str(NB)
             r2 = sb.multi_process(2)
+            t1b = sb._bench_one(mesh, "ssq_cwt", NB * N_DEV)
+            t1 = min(t1a, t1b)
             repN = comm_report("ssq_cwt", NB * N_DEV, N_DEV,
                                scales="log", nv=NV, dtype="float32")
             xb = cross_bytes(repN, 2)
@@ -185,6 +192,12 @@ def main():
         fit = dict(
             method="vary bytes at fixed P=2 (1-core host: varying P "
                    "confounds comm with core thrash)",
+            note="SNR ~1: per-step overhead is 2-4% of weak_s while "
+                 "1-core run variance is the same order, so bw_gbps is "
+                 "order-of-magnitude only. The BYTE accounting "
+                 "(comm_report/cross_bytes) is exact by construction; "
+                 "the v5p projection rests on it + documented ICI "
+                 "constants, not on this fit.",
             fit_on_n_base=[sizes[0], sizes[2]],
             bw_gbps=round(1e-9 / inv_bw, 4) if inv_bw > 0 else None,
             fixed_cost_s=round(C, 4),

@@ -43,7 +43,7 @@ N_BASE = int(os.environ.get("SCALING_N_BASE", 8192))   # per-shard (weak)
 N_STRONG = int(os.environ.get("SCALING_N_STRONG", 16384))  # global (strong)
 NV = 8
 HOP = 4                 # hop=1 on the CPU proxy is compute-dominated
-K = 3                   # timed iterations (best-of)
+K = int(os.environ.get("SCALING_K", 3))   # timed iterations (best-of)
 
 
 def _setup_cpu(n_devices: int):
