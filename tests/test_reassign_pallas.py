@@ -213,3 +213,61 @@ def test_mxu_splits_env_validated():
             os.environ.pop("SSQ_TPU_REASSIGN_SPLITS", None)
         else:
             os.environ["SSQ_TPU_REASSIGN_SPLITS"] = old
+
+
+@pytest.mark.parametrize("case", ["banded", "fallback"])
+def test_banded_variant_matches_baseline(monkeypatch, case):
+    """SSQ_TPU_REASSIGN_BAND (r4): the per-tile dynamic band + static
+    low-frequency strip is BITWISE-equal to the full loop — in the
+    banded branch (concentrated phases; it only skips adds that are
+    identically zero, same row order) AND in the zero-out-of-band-test
+    fallback (scattered phases -> full loop)."""
+    import jax
+    import jax.numpy as jnp
+    from ssqueeze_rs_tpu.ops.reassign_pallas import reassign_pallas
+    from ssqueeze_rs_tpu.ops.ssqueeze import plan_reassignment
+
+    rng = np.random.default_rng(9)
+    na, n = 96, 1200                       # nf >= STRIP + B + 16
+    nf = na
+    ssq_freqs = 0.001 * 2.0 ** (np.arange(na) / 8)
+    const_arr, mode, params = plan_reassignment(
+        ssq_freqs, na, True, transform="cwt", cwt_scaletype="log", nv=8,
+        scales=ssq_freqs.reshape(-1, 1))
+    Wx = (rng.standard_normal((na, n)) + 1j * rng.standard_normal((na, n)))
+    if case == "banded":
+        # concentrated phase: dWx = 2*pi*f0*i*Wx -> w ~ f0 for every
+        # unmasked entry (one band), plus a few rows driven to tiny w
+        # (the flipud low-frequency strip)
+        f0 = ssq_freqs[na // 2]
+        dWx = 2 * np.pi * f0 * 1j * Wx
+        dWx[:4] = 2 * np.pi * ssq_freqs[0] * 1j * Wx[:4]
+        Wx[70:80] *= 1e-12                 # sub-gamma rows too
+    else:
+        dWx = (rng.standard_normal((na, n))
+               + 1j * rng.standard_normal((na, n)))
+    gamma = 1e-6
+    const_j = jnp.asarray(const_arr)
+    Sfs = jnp.zeros(na)
+    kw = dict(mode=mode, flipud=True, transform="cwt", nf=nf,
+              interpret=True)
+
+    base = np.asarray(reassign_pallas(jnp.asarray(Wx), jnp.asarray(dWx),
+                                      const_j, gamma, Sfs, params, **kw))
+    monkeypatch.setenv("SSQ_TPU_REASSIGN_BAND", "32,32")
+    jax.clear_caches()   # env flag is baked into the traced kernel
+    got = np.asarray(reassign_pallas(jnp.asarray(Wx), jnp.asarray(dWx),
+                                     const_j, gamma, Sfs, params, **kw))
+    # and through the 3-plane phase_in contract as well
+    w_pre = np.abs((dWx / np.where(np.abs(Wx) > 0, Wx, 1.0)).imag
+                   / (2 * np.pi))
+    w_pre = np.where(np.abs(Wx) > gamma, w_pre, np.inf).astype(np.float32)
+    got_ph = np.asarray(reassign_pallas(
+        (jnp.asarray(Wx.real, jnp.float32), jnp.asarray(Wx.imag,
+                                                        jnp.float32)),
+        None, const_j, gamma, Sfs, params,
+        w_plane=jnp.asarray(w_pre), **kw))
+    monkeypatch.delenv("SSQ_TPU_REASSIGN_BAND")
+    jax.clear_caches()
+    assert np.array_equal(got, base)
+    assert np.isfinite(got_ph).all()

@@ -35,11 +35,15 @@ def main():
     wavelet = Wavelet.build("gmw")
     scales = process_scales("log-piecewise", N, wavelet)[:n_rows]
 
+    t = np.arange(N) / N
     if sig == "noise":
         x = rng.standard_normal(N)
         gamma = None
+    elif sig.startswith("chirp"):
+        f0, f1 = N / 1024, N / 8
+        x = np.cos(2 * np.pi * (f0 * t + (f1 - f0) / 2 * t * t))
+        gamma = 1e-3 if sig == "chirp_g" else None
     else:
-        t = np.arange(N) / N
         x = np.cos(2 * np.pi * (N / 64) * t)
         gamma = 1e-3 if sig == "tone_g" else None
 
@@ -60,6 +64,7 @@ def main():
         float(outs[-1])
         best = min(best, (time.perf_counter() - t0) / 8)
     print(f"skip={os.environ.get('SSQ_TPU_REASSIGN_SKIP', '0')} "
+          f"band={os.environ.get('SSQ_TPU_REASSIGN_BAND', '-')} "
           f"sig={sig}: {best * 1e3:.2f} ms  (checksum {out:.6g})")
 
 
