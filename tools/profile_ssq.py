@@ -39,8 +39,8 @@ def main():
     from ssqueeze_rs_tpu.scales import process_scales
     from ssqueeze_rs_tpu.utils.pad import padsignal, p2up
 
-    N = 160000
-    n_rows = 300
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 160000
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(N), dtype=jnp.float32)
 
