@@ -192,6 +192,10 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
             lo = jnp.clip(
                 (jnp.floor(c - B0 / 2).astype(jnp.int32) // 8) * 8,
                 0, sk - Bp)
+            # Mosaic's divisibility analysis can't see through clip of
+            # (x//8)*8 ("cannot statically prove index is a multiple of
+            # 8" on chip) — assert it via the Pallas hint.
+            lo = pl.multiple_of(lo, 8)
             oob = src & ((k < lo) | (k >= lo + Bp))
             nbad = jnp.sum(oob.astype(jnp.int32))
 
