@@ -1128,14 +1128,18 @@ def _cwt_fused_bwd(static, res, g):
 _cwt_fused_vjp.defvjp(_cwt_fused_fwd, _cwt_fused_bwd)
 
 
-def fft_impl() -> str:
+def fft_impl(default: str = "dot3") -> str:
     """MXU issue pattern for the untiled fused kernels — 'dot3' (3 dots
     per bf16x3 stage), 'dot1' (stacked-contraction single dot) or
     'merged' (dot1 + shared Wx/dWx dots). Read at call time and threaded
     as a static arg, so in-process jit caching stays correct (unlike a
-    trace-time env read)."""
+    trace-time env read). `default` (r4): callers with shape context
+    pass their own default; `None` means "env unset" so the caller can
+    pick (cwt_halfband_fused uses rb4 at M=2^14 — the small-N A/B)."""
     import os
-    v = os.environ.get("SSQ_TPU_FFT_IMPL", "dot3")
+    v = os.environ.get("SSQ_TPU_FFT_IMPL", default)
+    if v is None:
+        return None
     ok = v in ("dot3", "dot1", "merged", "tmerged") or (
         v.startswith("rb") and v[2:].isdigit() and int(v[2:]) > 0)
     if not ok:
@@ -1180,7 +1184,16 @@ def cwt_halfband_fused(Pw, xr_g, xi_g, xig, inv_dt, nyq_w, nyq_d,
     elif M2 % tiles:
         raise ValueError(f"tiles={tiles} must divide M2={M2}")
     if impl is None:
-        impl = fft_impl()
+        impl = fft_impl(default=None)
+        if impl is None:
+            # M-aware default (r4 small-N on-chip A/B, DESIGN.md): at
+            # M=2^14 — the only fused size at/below 2^14 — the kernel
+            # is per-grid-step latency-bound and rb4's 4 independent
+            # per-row pipelines win ~13% (cwt 2.18 -> 1.89 ms at 10k);
+            # at 160k rb measured SLOWER (VMEM pressure). rb falls
+            # back to dot3 inside _cwt_fused_call for batched/tiled/
+            # phase-fused shapes, so this stays safe for those.
+            impl = "rb4" if M <= (1 << 14) else "dot3"
     pg = None if phase_gamma is None else float(phase_gamma)
     return _cwt_fused_vjp(
         (M, tuple(keep), bool(derivative), interpret, int(tiles), impl,

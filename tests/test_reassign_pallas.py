@@ -252,6 +252,9 @@ def test_banded_variant_matches_baseline(monkeypatch, case):
     kw = dict(mode=mode, flipud=True, transform="cwt", nf=nf,
               interpret=True)
 
+    # band default is ON (r4) — the baseline must disable it explicitly
+    monkeypatch.setenv("SSQ_TPU_REASSIGN_BAND", "off")
+    jax.clear_caches()
     base = np.asarray(reassign_pallas(jnp.asarray(Wx), jnp.asarray(dWx),
                                       const_j, gamma, Sfs, params, **kw))
     monkeypatch.setenv("SSQ_TPU_REASSIGN_BAND", "32,32")
@@ -271,3 +274,20 @@ def test_banded_variant_matches_baseline(monkeypatch, case):
     jax.clear_caches()
     assert np.array_equal(got, base)
     assert np.isfinite(got_ph).all()
+
+
+def test_band_mode_default_and_spellings(monkeypatch):
+    """Unset -> the measured default (32, 32); 'off'/'0' disable;
+    malformed values raise (r4 default-on flip)."""
+    from ssqueeze_rs_tpu.ops.reassign_pallas import _band_mode
+
+    monkeypatch.delenv("SSQ_TPU_REASSIGN_BAND", raising=False)
+    assert _band_mode() == (32, 32)
+    for off in ("off", "0"):
+        monkeypatch.setenv("SSQ_TPU_REASSIGN_BAND", off)
+        assert _band_mode() is None
+    monkeypatch.setenv("SSQ_TPU_REASSIGN_BAND", "64,96")
+    assert _band_mode() == (64, 96)
+    monkeypatch.setenv("SSQ_TPU_REASSIGN_BAND", "12,8")
+    with pytest.raises(ValueError):
+        _band_mode()

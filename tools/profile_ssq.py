@@ -124,7 +124,7 @@ def main():
     # -- reassign + abs-sum WITHOUT the complexify (planes reduced raw)
     from ssqueeze_rs_tpu.ops.reassign_pallas import (_reassign_with_vjp)
     plan = tuple(sorted((k, float(v)) for k, v in params_host.items()))
-    static = (mode, True, "cwt", na, plan, gamma, False)
+    static = (mode, True, "cwt", na, plan, gamma, False, "vpu", 3, False)
 
     @jax.jit
     def reassign_planes_fn(wr, wi, dr, di, i):
