@@ -167,10 +167,22 @@ def main():
         return jnp.sum(jnp.abs(ssq_stft(x + i * 1e-12, n_fft=n_fft,
                                         dtype="float32")[0]))
 
+    # real-signal cell: gamma-masked tone — the banded-reassignment
+    # regime (r4; noise above is its worst case / full-loop fallback)
+    x_tone = jnp.asarray(np.cos(2 * np.pi * (N / 64) * np.arange(N) / N),
+                         dtype=jnp.float32)
+
+    @jax.jit
+    def ssq_tone_fn(x, i):
+        Tx = ssq_cwt(x + i * 1e-12, wavelet, scales=scales, fs=1.0,
+                     gamma=1e-3, dtype="float32")[0]
+        return jnp.sum(jnp.abs(Tx))
+
     t_ssq_cwt = timed(ssq_fn, (x,), K=16)
     t_cwt = timed(cwt_fn, (x,), K=16)
     t_stft = timed(stft_fn, (x,), K=8)
     t_ssq_stft = timed(ssq_stft_fn, (x,), K=8)
+    t_ssq_tone = timed(ssq_tone_fn, (x_tone,), K=8)
 
     msps = N / t_ssq_cwt / 1e6
     extras = {
@@ -178,6 +190,7 @@ def main():
         "160k-stft_s": round(t_stft, 5),
         "160k-ssq_cwt_s": round(t_ssq_cwt, 5),
         "160k-ssq_stft_s": round(t_ssq_stft, 5),
+        "160k-ssq_cwt_tone_g1e3_s": round(t_ssq_tone, 5),
         "speedup_vs_ref_gpu": {
             k: round(BASELINE[k] / t, 2)
             for k, t in [("160k-cwt", t_cwt), ("160k-stft", t_stft),

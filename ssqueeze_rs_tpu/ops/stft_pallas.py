@@ -542,7 +542,7 @@ def _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode, params, gamma,
     reassignment accumulate — Sx/dSx planes never round-trip HBM
     between the STFT and the squeezing (they are produced AND consumed
     in VMEM)."""
-    from .reassign_pallas import _bin_indices
+    from .reassign_pallas import _band_mode, _bin_indices
 
     def kernel(x_ref, fs_ref, wh_ref, wm_ref, wl_ref, const_ref, sfs_ref,
                txr_ref, txi_ref, sxr_ref, sxi_ref, y_ref, f_ref, s_ref,
@@ -573,14 +573,87 @@ def _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode, params, gamma,
         txr_ref[0] = jnp.zeros((nf8, T), jnp.float32)
         txi_ref[0] = jnp.zeros((nf8, T), jnp.float32)
 
-        def body(i, _):
-            ki = k_ref[pl.ds(i, 1), :]
-            onehot = rows == ki
-            txr_ref[0] += jnp.where(onehot, vr_ref[pl.ds(i, 1), :], 0.0)
-            txi_ref[0] += jnp.where(onehot, vi_ref[pl.ds(i, 1), :], 0.0)
-            return 0
+        def full_loop():
+            def body(i, _):
+                ki = k_ref[pl.ds(i, 1), :]
+                onehot = rows == ki
+                txr_ref[0] += jnp.where(onehot, vr_ref[pl.ds(i, 1), :],
+                                        0.0)
+                txi_ref[0] += jnp.where(onehot, vi_ref[pl.ds(i, 1), :],
+                                        0.0)
+                return 0
 
-        jax.lax.fori_loop(0, nf, body, 0)
+            jax.lax.fori_loop(0, nf, body, 0)
+
+        # banded fast path (r4; see reassign_pallas._band_mode and
+        # DESIGN.md "Banded reassignment"): long STFT tones/chirps band
+        # ~94-97% of tiles (host tile-stats, N=16k); short off-bin
+        # tones at default gamma scatter leakage-bin w estimates and
+        # fall back — gamma masking restores banding. Linear binning
+        # clips junk w to the 0 / nf-1 EDGES, so the static strip
+        # splits across BOTH edges (cwt puts it all at the flipud end).
+        # BITWISE-equal on both branches — the banded loop performs the
+        # same adds in the same row order, skipping only adds that are
+        # identically zero.
+        band = _band_mode()
+        if band is not None:
+            S_all, B0 = band
+            SLO = ((S_all // 2) // 8) * 8        # bottom strip [0, SLO)
+            SHI = S_all - SLO
+            hi0 = (max(nf - SHI, 0) // 8) * 8    # top strip [hi0, nf8)
+            Bp = B0 + 8
+        if (band is not None and SLO >= 8
+                and hi0 - Bp > SLO and nf >= S_all + B0 + 16):
+            vr_all = vr_ref[:]
+            vi_all = vi_ref[:]
+            mag = vr_all * vr_all + vi_all * vi_all   # 0 where masked
+            src = (k >= SLO) & (k < hi0)              # k=-1 excluded
+            wts = jnp.where(src, mag, 0.0)
+            tot = jnp.maximum(jnp.sum(wts), 1e-30)
+            c = jnp.sum(wts * k.astype(wts.dtype)) / tot
+            lo = jnp.clip(
+                (jnp.floor(c - B0 / 2).astype(jnp.int32) // 8) * 8,
+                SLO, hi0 - Bp)
+            lo = pl.multiple_of(lo, 8)   # Mosaic can't prove clip((x//8)*8)
+            oob = src & ((k < lo) | (k >= lo + Bp))
+            nbad = jnp.sum(oob.astype(jnp.int32))
+
+            @pl.when(nbad == 0)
+            def _():
+                rows_b = (jax.lax.broadcasted_iota(
+                    jnp.int32, (Bp, T), 0) + lo)
+                rows_lo = jax.lax.broadcasted_iota(jnp.int32, (SLO, T), 0)
+                rows_hi = (jax.lax.broadcasted_iota(
+                    jnp.int32, (nf8 - hi0, T), 0) + hi0)
+
+                def body(i, _):
+                    ki = k_ref[pl.ds(i, 1), :]
+                    vri = vr_ref[pl.ds(i, 1), :]
+                    vii = vi_ref[pl.ds(i, 1), :]
+                    ob = rows_b == ki
+                    txr_ref[0, pl.ds(lo, Bp), :] += jnp.where(ob, vri,
+                                                              0.0)
+                    txi_ref[0, pl.ds(lo, Bp), :] += jnp.where(ob, vii,
+                                                              0.0)
+                    ol = rows_lo == ki
+                    txr_ref[0, pl.ds(0, SLO), :] += jnp.where(ol, vri,
+                                                              0.0)
+                    txi_ref[0, pl.ds(0, SLO), :] += jnp.where(ol, vii,
+                                                              0.0)
+                    oh = rows_hi == ki
+                    txr_ref[0, pl.ds(hi0, nf8 - hi0), :] += jnp.where(
+                        oh, vri, 0.0)
+                    txi_ref[0, pl.ds(hi0, nf8 - hi0), :] += jnp.where(
+                        oh, vii, 0.0)
+                    return 0
+
+                jax.lax.fori_loop(0, nf, body, 0)
+
+            @pl.when(nbad > 0)
+            def _():
+                full_loop()
+        else:
+            full_loop()
 
     return kernel
 
@@ -668,7 +741,8 @@ def ssq_stft_fused_ok(n_fft: int, Mp: int) -> bool:
     nf8 = _pad8(n_fft // 2 + 1)
     extra = (4 * nf8 * T * 4          # S scratch
              + 3 * nf8 * T * 4        # k / vr / vi scratches
-             + 10 * nf8 * T * 4)      # _bin_indices + one-hot temporaries
+             + 14 * nf8 * T * 4)      # _bin_indices + one-hot + banded
+                                      # detector temporaries (mag/wts/oob)
     return (_stft_fused_bytes(n_fft, Mp, 4) + extra) < 110 * 1024 * 1024
 
 

@@ -260,3 +260,40 @@ def test_mega_ssq_stft_impl_dot1(monkeypatch):
     col1 = np.abs(T1).sum(axis=0)
     col6 = np.abs(T6).sum(axis=0)
     assert np.abs(col1 - col6).max() / col6.max() < 1e-3
+
+
+@pytest.mark.parametrize("sig", ["tone", "noise"])
+def test_mega_ssq_stft_banded_bitwise(monkeypatch, sig):
+    """The mega kernel's banded scatter (r4, SSQ_TPU_REASSIGN_BAND
+    default-on) is BITWISE-equal to the full loop — on a gamma-masked
+    tone (banded branch FIRES: host detector replica bands 3/3 tiles
+    at this exact config; at default gamma the off-bin leakage w
+    scatter falls back everywhere) AND on noise (zero-out-of-band test
+    fails -> full-loop fallback)."""
+    from ssqueeze_rs_tpu import ssq_stft
+
+    rng = np.random.default_rng(3)
+    N = 2000
+    t = np.arange(N) / 1000.0
+    x = (np.cos(2 * np.pi * 97 * t) if sig == "tone"
+         else rng.standard_normal(N)).astype(np.float32)
+    gamma = 1e-3 if sig == "tone" else None
+
+    monkeypatch.setenv("SSQ_TPU_KERNELS", "1")
+
+    def run(band):
+        monkeypatch.setenv("SSQ_TPU_REASSIGN_BAND", band)
+        _clear()
+        # n_fft=256 -> nf=129 >= STRIP+B+16: the banded gate is open
+        kw = {} if gamma is None else {"gamma": gamma}
+        Tx, Sx, *_ = ssq_stft(x, n_fft=256, fs=1000.0, dtype="float32",
+                              **kw)
+        return np.asarray(Tx), np.asarray(Sx)
+
+    Tb, Sb = run("32,32")
+    T0, S0 = run("off")
+    monkeypatch.delenv("SSQ_TPU_REASSIGN_BAND")
+    _clear()
+    assert np.array_equal(Sb, S0)
+    assert np.array_equal(Tb, T0)
+    assert np.abs(Tb).sum() > 0
