@@ -198,7 +198,9 @@ def main():
                        / 1024) / 2 * tt * tt)), 1e-3),
     }
     results["realsig_160k_ssq_cwt"] = {}
+    results["realsig_160k_ssq_stft"] = {}
     ref = REF_GPU_S[(N, "ssq_cwt")]
+    ref_st = REF_GPU_S[(N, "ssq_stft")]
     for name, (sig, gamma) in sigs.items():
         x = jnp.asarray(sig, dtype=jnp.float32)
         kw = {} if gamma is None else {"gamma": gamma}
@@ -217,6 +219,20 @@ def main():
         print(f"160k-ssq_cwt[{name}]: {t * 1e3:8.2f} ms   "
               f"(ref GPU {ref * 1e3:7.2f} ms, speedup {ref / t:5.2f}x)",
               flush=True)
+
+        # ssq_stft bands harder (column-local phase): no gamma needed
+        @jax.jit
+        def ssq_st_real(x, i):
+            return jnp.sum(jnp.abs(
+                ssq_stft(x + i * 1e-12, n_fft=n_fft, dtype="float32")[0]))
+
+        t = timed(ssq_st_real, (x,), K=4)
+        results["realsig_160k_ssq_stft"][name] = {
+            "tpu_s": round(t, 6), "ref_gpu_s": ref_st,
+            "speedup": round(ref_st / t, 2)}
+        print(f"160k-ssq_stft[{name}]: {t * 1e3:8.2f} ms   "
+              f"(ref GPU {ref_st * 1e3:7.2f} ms, speedup "
+              f"{ref_st / t:5.2f}x)", flush=True)
 
     with open("BENCH_TABLE.json", "w") as f:
         json.dump(results, f, indent=1)
