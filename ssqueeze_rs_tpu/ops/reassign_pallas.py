@@ -189,7 +189,16 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
             # loop either way.
             STRIP, B0 = band
             Bp = B0 + 8                  # pad for the 8-aligned start
-            sk = nf - STRIP              # strip rows = [sk, nf)
+            # 8-align the strip start DOWN so the clip upper bound
+            # sk - Bp is a provable multiple of 8 for EVERY nf (the r4
+            # code used sk = nf - STRIP, whose clamp bound was
+            # misaligned whenever nf % 8 != 0 — e.g. the bench's
+            # nf=293 — making pl.multiple_of assert a falsehood when
+            # the band center sat within ~B0/2 of the strip). The
+            # strip widens by nf - STRIP - sk <= 7 rows to cover the
+            # remainder.
+            sk = ((nf - STRIP) // 8) * 8   # strip rows = [sk, nf)
+            strip = nf - sk
             vr_all = vr_ref[:]
             vi_all = vi_ref[:]
             mag = vr_all * vr_all + vi_all * vi_all   # 0 where masked
@@ -202,17 +211,23 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
                 0, sk - Bp)
             # Mosaic's divisibility analysis can't see through clip of
             # (x//8)*8 ("cannot statically prove index is a multiple of
-            # 8" on chip) — assert it via the Pallas hint.
+            # 8" on chip) — assert it via the Pallas hint (both clip
+            # bounds are multiples of 8 now, so the hint is true).
             lo = pl.multiple_of(lo, 8)
             oob = src & ((k < lo) | (k >= lo + Bp))
             nbad = jnp.sum(oob.astype(jnp.int32))
+            # mag overflow (|v|^2 -> inf) makes c NaN; NaN compares are
+            # all-false so oob would be empty and the banded branch
+            # would run with an undefined lo, silently dropping valid
+            # adds — take the full loop unless c is finite.
+            banded_ok = (nbad == 0) & jnp.isfinite(c)
 
-            @pl.when(nbad == 0)
+            @pl.when(banded_ok)
             def _():
                 rows_b = (jax.lax.broadcasted_iota(
                     jnp.int32, (Bp, tile), 0) + lo)
                 rows_s = (jax.lax.broadcasted_iota(
-                    jnp.int32, (STRIP, tile), 0) + sk)
+                    jnp.int32, (strip, tile), 0) + sk)
 
                 def body(i, _):
                     ki = k_ref[pl.ds(i, 1), :]
@@ -222,15 +237,15 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
                     outr_ref[pl.ds(lo, Bp), :] += jnp.where(ob, vri, 0.0)
                     outi_ref[pl.ds(lo, Bp), :] += jnp.where(ob, vii, 0.0)
                     osm = rows_s == ki
-                    outr_ref[pl.ds(sk, STRIP), :] += jnp.where(osm, vri,
+                    outr_ref[pl.ds(sk, strip), :] += jnp.where(osm, vri,
                                                                0.0)
-                    outi_ref[pl.ds(sk, STRIP), :] += jnp.where(osm, vii,
+                    outi_ref[pl.ds(sk, strip), :] += jnp.where(osm, vii,
                                                                0.0)
                     return 0
 
                 jax.lax.fori_loop(0, na, body, 0)
 
-            @pl.when(nbad > 0)
+            @pl.when(jnp.logical_not(banded_ok))
             def _():
                 def body(i, _):
                     ki = k_ref[pl.ds(i, 1), :]

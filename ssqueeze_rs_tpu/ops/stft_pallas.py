@@ -617,8 +617,12 @@ def _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode, params, gamma,
             lo = pl.multiple_of(lo, 8)   # Mosaic can't prove clip((x//8)*8)
             oob = src & ((k < lo) | (k >= lo + Bp))
             nbad = jnp.sum(oob.astype(jnp.int32))
+            # mag overflow -> c NaN -> all NaN compares false -> oob
+            # empty with undefined lo; force the full loop then (see
+            # reassign_pallas banded branch).
+            banded_ok = (nbad == 0) & jnp.isfinite(c)
 
-            @pl.when(nbad == 0)
+            @pl.when(banded_ok)
             def _():
                 rows_b = (jax.lax.broadcasted_iota(
                     jnp.int32, (Bp, T), 0) + lo)
@@ -649,7 +653,7 @@ def _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode, params, gamma,
 
                 jax.lax.fori_loop(0, nf, body, 0)
 
-            @pl.when(nbad > 0)
+            @pl.when(jnp.logical_not(banded_ok))
             def _():
                 full_loop()
         else:

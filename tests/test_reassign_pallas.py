@@ -215,20 +215,25 @@ def test_mxu_splits_env_validated():
             os.environ["SSQ_TPU_REASSIGN_SPLITS"] = old
 
 
-@pytest.mark.parametrize("case", ["banded", "fallback"])
-def test_banded_variant_matches_baseline(monkeypatch, case):
+@pytest.mark.parametrize("na", [96, 92])   # 92 % 8 != 0: the r5 strip-
+                                           # alignment fix (bench nf=293
+                                           # class — ADVICE r4 high)
+@pytest.mark.parametrize("case", ["banded", "fallback", "near_strip"])
+def test_banded_variant_matches_baseline(monkeypatch, case, na):
     """SSQ_TPU_REASSIGN_BAND (r4): the per-tile dynamic band + static
     low-frequency strip is BITWISE-equal to the full loop — in the
     banded branch (concentrated phases; it only skips adds that are
-    identically zero, same row order) AND in the zero-out-of-band-test
-    fallback (scattered phases -> full loop)."""
+    identically zero, same row order), in the zero-out-of-band-test
+    fallback (scattered phases -> full loop), and when the band center
+    sits against the strip so the 8-aligned clamp BINDS (the geometry
+    that was misaligned for nf % 8 != 0 before r5)."""
     import jax
     import jax.numpy as jnp
     from ssqueeze_rs_tpu.ops.reassign_pallas import reassign_pallas
     from ssqueeze_rs_tpu.ops.ssqueeze import plan_reassignment
 
     rng = np.random.default_rng(9)
-    na, n = 96, 1200                       # nf >= STRIP + B + 16
+    n = 1200                               # nf >= STRIP + B + 16
     nf = na
     ssq_freqs = 0.001 * 2.0 ** (np.arange(na) / 8)
     const_arr, mode, params = plan_reassignment(
@@ -243,6 +248,13 @@ def test_banded_variant_matches_baseline(monkeypatch, case):
         dWx = 2 * np.pi * f0 * 1j * Wx
         dWx[:4] = 2 * np.pi * ssq_freqs[0] * 1j * Wx[:4]
         Wx[70:80] *= 1e-12                 # sub-gamma rows too
+    elif case == "near_strip":
+        # band center just below the static strip: lo's clip upper
+        # bound binds. With flipud, small w -> high k; pick f0 so the
+        # flipped bin lands ~2 rows below the 8-aligned strip start.
+        sk = ((nf - 32) // 8) * 8
+        f0 = ssq_freqs[nf - 1 - (sk - 2)]
+        dWx = 2 * np.pi * f0 * 1j * Wx
     else:
         dWx = (rng.standard_normal((na, n))
                + 1j * rng.standard_normal((na, n)))
@@ -261,19 +273,23 @@ def test_banded_variant_matches_baseline(monkeypatch, case):
     jax.clear_caches()   # env flag is baked into the traced kernel
     got = np.asarray(reassign_pallas(jnp.asarray(Wx), jnp.asarray(dWx),
                                      const_j, gamma, Sfs, params, **kw))
-    # and through the 3-plane phase_in contract as well
-    w_pre = np.abs((dWx / np.where(np.abs(Wx) > 0, Wx, 1.0)).imag
-                   / (2 * np.pi))
-    w_pre = np.where(np.abs(Wx) > gamma, w_pre, np.inf).astype(np.float32)
+    # and through the 3-plane phase_in contract as well: w_pre computed
+    # with the SAME float ops as the kernel's 4-plane branch
+    # ((B*C - A*D) / (mag2 * 2pi), mask by mag2 > gamma^2) so the
+    # comparison against base is BITWISE, not just finite (ADVICE r4)
+    C, D = Wx.real, Wx.imag
+    A, B = dWx.real, dWx.imag
+    mag2 = C * C + D * D
+    w_pre = np.abs((B * C - A * D) / (mag2 * 6.283185307179586))
+    w_pre = np.where(mag2 > gamma * gamma, w_pre, np.inf)
     got_ph = np.asarray(reassign_pallas(
-        (jnp.asarray(Wx.real, jnp.float32), jnp.asarray(Wx.imag,
-                                                        jnp.float32)),
+        (jnp.asarray(Wx.real), jnp.asarray(Wx.imag)),
         None, const_j, gamma, Sfs, params,
         w_plane=jnp.asarray(w_pre), **kw))
     monkeypatch.delenv("SSQ_TPU_REASSIGN_BAND")
     jax.clear_caches()
     assert np.array_equal(got, base)
-    assert np.isfinite(got_ph).all()
+    assert np.array_equal(got_ph, base)
 
 
 def test_band_mode_default_and_spellings(monkeypatch):
