@@ -36,6 +36,16 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
     """Synchrosqueezed STFT (reference parity: _ssq_stft.py:13-136).
 
     Returns (Tx, Sx, ssq_freqs, Sfs[, w][, dSx]).
+
+    TPU perf note (banded scatter, default ON via
+    SSQ_TPU_REASSIGN_BAND): signals whose phase estimates concentrate
+    per time tile (long tones, chirps, denoised signals) take a banded
+    fast path ~1.8x faster than the full scatter. SHORT OFF-BIN tones
+    at the default gamma scatter w across leakage bins and silently
+    take the (correct, full-speed-baseline) fallback — raising `gamma`
+    to mask the leakage (e.g. ~1e-3 for unit-amplitude signals, the
+    denoising regime) restores banding. Output is bitwise-identical
+    either way.
     """
     _, fs, _ = process_fs_and_t(fs, t, jnp.shape(x)[-1])
     check_ssqueezing_args(squeezing)

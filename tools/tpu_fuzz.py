@@ -53,6 +53,37 @@ def main(n_trials=6, seed=42):
             print(f"  FAIL  {cfg}  {type(ex).__name__}: {str(ex)[:60]}")
             fails.append(cfg)
 
+    # pinned regression (r5, VERDICT r4 weak #6): SHORT OFF-BIN tone at
+    # DEFAULT gamma — leakage-dominated w estimates scatter across bins,
+    # so the banded ssq_stft mega kernel must take its full-loop
+    # fallback and stay CORRECT (the fallback is the unchanged full
+    # kernel, ~1.8x slower than the banded branch; raising gamma to
+    # ~1e-3 masks the leakage and restores banding — see the ssq_stft
+    # docstring perf note).
+    N, fs, n_fft = 16000, 1000.0, 256
+    f0 = 117.37                      # between STFT bins (off-bin)
+    tt = np.arange(N) / fs
+    x = jnp.asarray(np.cos(2 * np.pi * f0 * tt), jnp.float32)
+
+    @jax.jit
+    def drive_offbin(x):
+        Tx, Sx, *_ = ssq.ssq_stft(x, n_fft=n_fft, fs=fs, dtype="float32")
+        row = jnp.argmax(jnp.sum(jnp.abs(Tx), axis=-1))
+        return jnp.sum(jnp.abs(Tx)), row
+
+    cfg = f"pinned off-bin tone N={N} n_fft={n_fft} f0={f0}"
+    try:
+        s, row = drive_offbin(x)
+        nf = n_fft // 2 + 1
+        fpk = float(row) / (nf - 1) * fs / 2
+        ok = np.isfinite(float(s)) and abs(fpk - f0) <= 2 * fs / n_fft
+        print(f"  {'PASS' if ok else 'FAIL'}  {cfg}  peak={fpk:.1f} Hz")
+        if not ok:
+            fails.append(cfg)
+    except Exception as ex:
+        print(f"  FAIL  {cfg}  {type(ex).__name__}: {str(ex)[:60]}")
+        fails.append(cfg)
+
     print("ALL PASS" if not fails else f"FAILURES: {fails}")
     return 1 if fails else 0
 
