@@ -18,6 +18,18 @@ production shape to locate where the 16.8 ms actually goes:
   dmaonly  : empty body — the grid + BlockSpec DMA floor (Pw rows in,
              4 output rows out; Mosaic still streams every block)
 
+r5 additivity-gap discriminators (--overlap; VERDICT r4->r5 #1):
+
+  overlap  : full dot chain on the CONSTANT x planes (no dependency on
+             the streamed Pw window, which one scalar read keeps live).
+             max(dmaonly, dots) => overlap is schedulable and the full
+             kernel's serial chain is the defect; ~additive => DMA and
+             MXU/VPU contend for VMEM bandwidth (physical floor).
+  noout    : full compute, 128-wide outputs (output stream's share)
+  ksplitC  : bf16x3 dots contraction-split into C independent partial
+             chains per stage (same MACs/bytes/windows; C-1 extra f32
+             partials live) — the VERDICT's (a) prescription
+
 All ablated variants compute WRONG math by design; each preserves the
 memory-movement shape of everything it does not remove, so
 full - variant isolates that component's cost.
@@ -48,6 +60,35 @@ START = (M - L) // 2
 
 
 def _make_kernel(R, off, ablate):
+    ksplit = int(ablate[6:]) if ablate.startswith("ksplit") else 0
+
+    def _dot3_ks(wh, wl, x, C):
+        """Contraction-split bf16x3: C independent partial chains over
+        contraction ranges (VERDICT r4->r5 #1a). Same MACs and operand
+        bytes as _dot3; 3C smaller dots with NO serial dependency until
+        the final add tree — same input windows, only C-1 extra (m, n)
+        f32 partials live."""
+        xh, xl = _split_bf16(x)
+        k = x.shape[0] // C
+        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+        parts = []
+        for c in range(C):
+            s = slice(c * k, (c + 1) * k)
+            parts.append(d(wh[:, s], xh[s]) + d(wh[:, s], xl[s])
+                         + d(wl[:, s], xh[s]))
+        return functools.reduce(lambda a, b: a + b, parts)
+
+    def _dot3_r_ks(x, wh, wl, C):
+        xh, xl = _split_bf16(x)
+        k = x.shape[1] // C
+        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+        parts = []
+        for c in range(C):
+            s = slice(c * k, (c + 1) * k)
+            parts.append(d(xh[:, s], wh[s]) + d(xl[:, s], wh[s])
+                         + d(xh[:, s], wl[s]))
+        return functools.reduce(lambda a, b: a + b, parts)
+
     def pipeline(zr, zi, w1h, w1l, Tr, Ti, w2h, w2l):
         X = jnp.concatenate([zr, zi], axis=0)              # (M1, M2)
         if ablate in ("nostage1", "nodots"):
@@ -55,6 +96,8 @@ def _make_kernel(R, off, ablate):
         elif ablate == "nosplit":
             B1 = jnp.dot(w1h, X.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
+        elif ksplit:
+            B1 = _dot3_ks(w1h, w1l, X, ksplit)
         else:
             B1 = _dot3(w1h, w1l, X)                        # (2M1, M2)
         Br, Bi = B1[:M1], B1[M1:]
@@ -69,6 +112,8 @@ def _make_kernel(R, off, ablate):
             OUT = jnp.dot(C2.astype(jnp.bfloat16),
                           w2h.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
+        elif ksplit:
+            OUT = _dot3_r_ks(C2, w2h, w2l, ksplit)
         else:
             OUT = _dot3_r(C2, w2h, w2l)
         if ablate == "nolayout":
@@ -87,12 +132,51 @@ def _make_kernel(R, off, ablate):
             odr_ref[0, 0] = z
             odi_ref[0, 0] = z
             return
+        if ablate == "noout":
+            # full compute, 128-wide output windows: isolates the OUTPUT
+            # stream's share of the non-overlap (outputs are ~750 MB of
+            # the ~0.9 GB per-call traffic)
+            args = (w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
+                    w2h_ref[:], w2l_ref[:])
+            p = pw_ref[0]
+            zr = p * xr_ref[0]
+            zi = p * xi_ref[0]
+            OW = pipeline(zr, zi, *args)
+            s = xig_ref[:] * invdt_ref[0, 0, 0]
+            OD = pipeline(-zi * s, zr * s, *args)
+            owr_ref[0, 0] = OW[0, :128] + nwr_ref[0, 0, 0]
+            owi_ref[0, 0] = OW[1, :128] + nwi_ref[0, 0, 0]
+            odr_ref[0, 0] = OD[0, :128] + ndr_ref[0, 0, 0]
+            odi_ref[0, 0] = OD[1, :128] + ndi_ref[0, 0, 0]
+            return
         args = (w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
                 w2h_ref[:], w2l_ref[:])
+        alt = alt_ref[0]
+        if ablate == "overlap":
+            # THE DISCRIMINATOR (VERDICT r4->r5 #1): the full 2-pipeline
+            # dot chain computed on the CONSTANT single-buffered x planes
+            # only — the streamed Pw window is consumed by one scalar (so
+            # Mosaic cannot drop its per-row DMA) but feeds no dot. The
+            # per-step compute has NO data dependency on the per-step
+            # input DMA. If the machine can overlap DMA with MXU work,
+            # this times at max(dmaonly, dots) ~ 10-11 ms; if input/output
+            # streaming and compute contend for VMEM bandwidth, it stays
+            # at the additive ~17 ms and the gap is physical, not a
+            # scheduling defect.
+            zr = xr_ref[0]
+            zi = xi_ref[0]
+            dep = pw_ref[0, 0, 0] * invdt_ref[0, 0, 0]   # scalar consume
+            OW = pipeline(zr, zi, *args)
+            owr_ref[0, 0] = OW[0] + nwr_ref[0, 0, 0] * alt + dep
+            owi_ref[0, 0] = OW[1] + nwi_ref[0, 0, 0] * alt
+            s = xig_ref[:] * invdt_ref[0, 0, 0]
+            OD = pipeline(-zi * s, zr * s, *args)
+            odr_ref[0, 0] = OD[0] + ndr_ref[0, 0, 0] * alt
+            odi_ref[0, 0] = OD[1] + ndi_ref[0, 0, 0] * alt
+            return
         p = pw_ref[0]
         zr = p * xr_ref[0]
         zi = p * xi_ref[0]
-        alt = alt_ref[0]
         OW = pipeline(zr, zi, *args)
         owr_ref[0, 0] = OW[0] + nwr_ref[0, 0, 0] * alt
         owi_ref[0, 0] = OW[1] + nwi_ref[0, 0, 0] * alt
@@ -123,7 +207,9 @@ def run(Pw, xr_g, xi_g, xig, ablate, interpret=False):
     const3 = lambda i: (0, 0, 0)
     lane = jnp.zeros((rows, 1, 128), jnp.float32)
     scal = jnp.ones((1, 1, 128), jnp.float32)
-    out3 = lambda: pl.BlockSpec((1, 1, L), row3, memory_space=pltpu.VMEM)
+    Lout = 128 if ablate == "noout" else L
+    out3 = lambda: pl.BlockSpec((1, 1, Lout), row3,
+                                memory_space=pltpu.VMEM)
     wspecs = [pl.BlockSpec(w.shape, const2, memory_space=pltpu.VMEM)
               for w in (W1h, W1l, Tr, Ti, W2h, W2l)]
     outs = pl.pallas_call(
@@ -139,7 +225,7 @@ def run(Pw, xr_g, xi_g, xig, ablate, interpret=False):
         + wspecs
         + [pl.BlockSpec((1, L), const2, memory_space=pltpu.VMEM)],
         out_specs=(out3(), out3(), out3(), out3()),
-        out_shape=tuple(jax.ShapeDtypeStruct((rows, 1, L), jnp.float32)
+        out_shape=tuple(jax.ShapeDtypeStruct((rows, 1, Lout), jnp.float32)
                         for _ in range(4)),
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
@@ -208,6 +294,10 @@ def main():
                 "notwiddle", "nolayout", "dmaonly")
     if "--dma" in sys.argv:
         variants = ("dmaonly", "dma1", "dmanoin", "dmarb8")
+    if "--overlap" in sys.argv:
+        # r5 VERDICT #1 set: the additivity-gap discriminators
+        variants = ("full", "dmaonly", "overlap", "noout",
+                    "ksplit2", "ksplit4")
     for ab in variants:
         try:
             f = lambda i, ab=ab: run(Pw + jnp.float32(i) * 0, xr, xi, xig,
