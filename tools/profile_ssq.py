@@ -9,7 +9,13 @@ Times each pipeline slice as its own jit program, K back-to-back
   p_reassign : reassign kernel alone         -> planes passed as args
   p_full     : full ssq_cwt (bench program)
 
-Run:  python tools/profile_ssq.py
+Run:  python tools/profile_ssq.py [N] [n_rows] [--batch B]
+
+--batch B (r5, VERDICT r4 #3): run the same decomposition on a (B, N)
+batch — per-transform times printed alongside — to locate where
+batch-8 ssq_cwt loses its ~2 ms dispatch amortization (38.0 vs 35.3
+ms/transform in BENCH_TABLE r4): the cwt kernel's b>1 window maps, the
+vmapped reassignment grid, or the glue.
 """
 import sys
 import time
@@ -19,7 +25,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def timed(fn, args, K=8, reps=3, tag=""):
+def timed(fn, args, K=8, reps=3, tag="", per=1):
     out = fn(*args, 0)
     _ = float(out)
     best = float("inf")
@@ -28,7 +34,8 @@ def timed(fn, args, K=8, reps=3, tag=""):
         outs = [fn(*args, r * K + i + 1) for i in range(K)]
         _ = float(outs[-1])
         best = min(best, (time.perf_counter() - t0) / K)
-    print(f"{tag:12s} {best*1e3:8.2f} ms", flush=True)
+    extra = f"  ({best*1e3/per:8.2f} ms/transform)" if per > 1 else ""
+    print(f"{tag:12s} {best*1e3:8.2f} ms{extra}", flush=True)
     return best
 
 
@@ -39,10 +46,16 @@ def main():
     from ssqueeze_rs_tpu.scales import process_scales
     from ssqueeze_rs_tpu.utils.pad import padsignal, p2up
 
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 160000
-    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 300
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal(N), dtype=jnp.float32)
+    args_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    N = int(args_pos[0]) if len(args_pos) > 0 else 160000
+    n_rows = int(args_pos[1]) if len(args_pos) > 1 else 300
+    B = (int(sys.argv[sys.argv.index("--batch") + 1])
+         if "--batch" in sys.argv else 1)
+    # generate on device (a (B, N) f32 upload can exceed the relay's
+    # comfortable transfer size at B >= 8)
+    x = jax.jit(lambda k: jax.random.normal(
+        k, ((B, N) if B > 1 else (N,)), jnp.float32))(jax.random.PRNGKey(0))
+    x = jax.block_until_ready(x)
 
     wavelet = Wavelet.build("gmw")
     scales = process_scales("log-piecewise", N, wavelet)[:n_rows]
@@ -53,7 +66,7 @@ def main():
     # -- p_null: dispatch overhead
     @jax.jit
     def null_fn(x, i):
-        return jnp.sum(x[:8]) + i
+        return jnp.sum(x[..., :8]) + i
 
     timed(null_fn, (x,), K=16, tag="p_null")
 
@@ -70,7 +83,7 @@ def main():
         Pw = wavelet.psih(sc[:, None, None] * jnp.asarray(xig)[None], jnp)
         return jnp.sum(Pw) + jnp.sum(jnp.abs(xh))
 
-    timed(front_fn, (x,), K=16, tag="p_front")
+    timed(front_fn, (x,), K=16, tag="p_front", per=B)
 
     # -- p_cwt: front + fused cwt kernel, reduce planes (no reassign)
     from ssqueeze_rs_tpu.ops.cwt import cwt_core
@@ -85,7 +98,7 @@ def main():
             rpadded=False, planar_out=True, engines=(True, True))
         return (jnp.sum(wr) + jnp.sum(wi) + jnp.sum(dr) + jnp.sum(di))
 
-    timed(cwt_fn, (x,), K=16, tag="p_cwt")
+    timed(cwt_fn, (x,), K=16, tag="p_cwt", per=B)
 
     # -- precompute planes on device for reassign-alone timing
     xp, _, n1, _ = padsignal(x, "reflect", get_params=True)
@@ -119,7 +132,8 @@ def main():
                              mode=mode, flipud=True, transform="cwt", nf=na)
         return jnp.sum(jnp.abs(Tx))
 
-    timed(reassign_fn, (wr, wi, dr, di), K=16, tag="p_reassign")
+    timed(reassign_fn, (wr, wi, dr, di), K=16, tag="p_reassign",
+          per=B)
 
     # -- reassign + abs-sum WITHOUT the complexify (planes reduced raw)
     from ssqueeze_rs_tpu.ops.reassign_pallas import (_reassign_with_vjp)
@@ -128,13 +142,18 @@ def main():
 
     @jax.jit
     def reassign_planes_fn(wr, wi, dr, di, i):
-        txr, txi = _reassign_with_vjp(
-            static, wr + i * 1e-30, wi, dr, di,
-            jnp.asarray(const_arr, jnp.float32),
-            jnp.zeros((na,), jnp.float32))
+        ca = jnp.asarray(const_arr, jnp.float32)
+        zf = jnp.zeros((na,), jnp.float32)
+        if B > 1:
+            txr, txi = jax.vmap(lambda a, b, c, d: _reassign_with_vjp(
+                static, a, b, c, d, ca, zf))(wr + i * 1e-30, wi, dr, di)
+        else:
+            txr, txi = _reassign_with_vjp(static, wr + i * 1e-30, wi,
+                                          dr, di, ca, zf)
         return jnp.sum(jnp.sqrt(txr * txr + txi * txi))
 
-    timed(reassign_planes_fn, (wr, wi, dr, di), K=16, tag="p_reasg_pl")
+    timed(reassign_planes_fn, (wr, wi, dr, di), K=16,
+          tag="p_reasg_pl", per=B)
 
     # -- p_full: the bench program
     @jax.jit
@@ -143,7 +162,7 @@ def main():
                      dtype="float32")[0]
         return jnp.sum(jnp.abs(Tx))
 
-    timed(full_fn, (x,), K=16, tag="p_full")
+    timed(full_fn, (x,), K=16, tag="p_full", per=B)
 
 
 if __name__ == "__main__":

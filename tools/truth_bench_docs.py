@@ -8,7 +8,13 @@ measure. This script is the ONLY way headline tables change:
     seconds + speedups),
   * rewrites the README block between BENCH_TABLE_START/END markers,
   * prints the one-line summary to paste anywhere else numbers are
-    quoted (CLAUDE.md bench-status, docs/DESIGN.md).
+    quoted (CLAUDE.md bench-status, docs/DESIGN.md),
+  * cross-checks BENCH_TABLE.json's 160k `single` cells against the
+    same driver record and EXITS NONZERO when any cell is stale
+    (VERDICT r4 #4: the r4 table mixed r2-vintage 160k cells with
+    r4-refreshed 10k cells; >12% deviation from the driver number now
+    fails this script until `python examples/benchmarks.py` is re-run
+    in a healthy-relay session).
 
 Run after every driver round: python tools/truth_bench_docs.py
 """
@@ -82,6 +88,27 @@ def main():
         k: round(extras[f"{k}_s"] * 1e3, 1) for k in LABEL}),
         f"ssq_cwt {msps:.2f} MSamples/s",
         f"speedups {extras['speedup_vs_ref_gpu']}")
+
+    # -- staleness gate: BENCH_TABLE.json vs the driver record ----------
+    table_path = os.path.join(REPO, "BENCH_TABLE.json")
+    if os.path.exists(table_path):
+        table = json.load(open(table_path))
+        stale = []
+        for key in LABEL:
+            cell = table.get("single", {}).get(key)
+            if cell is None:
+                continue
+            drv = extras[f"{key}_s"]
+            rel = abs(cell["tpu_s"] - drv) / drv
+            if rel > 0.12:
+                stale.append(f"{key}: table {cell['tpu_s']*1e3:.1f} ms "
+                             f"vs driver {drv*1e3:.1f} ms ({rel:.0%})")
+        if stale:
+            sys.exit("BENCH_TABLE.json is STALE vs " + src + ":\n  "
+                     + "\n  ".join(stale)
+                     + "\n  -> regenerate: python examples/benchmarks.py")
+        print(f"BENCH_TABLE.json 160k cells consistent with {src} "
+              "(<=12%)")
 
 
 if __name__ == "__main__":
