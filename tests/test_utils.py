@@ -210,3 +210,46 @@ def test_window_norm_vectorized_matches_direct():
                            atol=1e-12 * want.max()), (hop, n_fft, N)
         # second call hits the cache with the same values
         assert np.array_equal(window_norm(w, hop, n_fft, N, exp), got)
+
+
+def test_fft_global_object_parity(tmp_path):
+    """Reference FFT/FFT_GLOBAL surface (fft_utils.py:40-216): stateful
+    backend object with patience/planning_timelimit knobs; patience >= 1
+    enables the persistent XLA cache (the wisdom analog)."""
+    import jax
+    from ssqueeze_rs_tpu.utils import FFT, FFT_GLOBAL
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(64)
+
+    # method surface delegates to the XLA backend
+    assert np.allclose(np.asarray(FFT_GLOBAL.fft(x)), np.fft.fft(x),
+                       atol=1e-10)
+    assert np.allclose(np.asarray(FFT_GLOBAL.rfft(x)), np.fft.rfft(x),
+                       atol=1e-10)
+    Xr = np.fft.rfft(x)
+    assert np.allclose(np.asarray(FFT_GLOBAL.irfft(Xr, n=64)), x,
+                       atol=1e-10)
+    assert np.allclose(np.asarray(FFT_GLOBAL.ifft(np.fft.fft(x))), x,
+                       atol=1e-10)
+    assert np.array_equal(np.asarray(FFT_GLOBAL.fftshift(x)),
+                          np.fft.fftshift(x))
+
+    # reference patience semantics: tuple sets planning_timelimit too;
+    # invalid values raise
+    f = FFT(verbose=0, wisdom_dir=str(tmp_path / "wisdom"))
+    assert f.patience == 0 and f.planning_timelimit == 120
+    f.patience = (1, 30)
+    assert f.patience == 1 and f.planning_timelimit == 30
+    with pytest.raises(ValueError):
+        f.patience = 7
+    with pytest.raises(ValueError):
+        f.patience = (0, 10)
+
+    # patience >= 1 turned on the persistent compilation cache at
+    # wisdom_dir (the wisdom analog)
+    assert f._cache_dir is not None
+    assert jax.config.jax_compilation_cache_dir == f._cache_dir
+    assert f.save_wisdom() == f._cache_dir
+    assert isinstance(f.threads, int) and f.threads >= 1
+    assert FFT(verbose=0, threads=3).threads == 3

@@ -105,9 +105,8 @@ def _make_kernel(ablate):
             # plane window live, but no loop value depends on it
             dep = (wr_ref[0, 0] + wi_ref[0, 0] + dr_ref[0, 0]
                    + di_ref[0, 0])
-            k_ref[:] = jnp.broadcast_to(
-                (jax.lax.broadcasted_iota(jnp.int32, (NA, 1), 0) * 7)
-                % NF, (NA, TILE))
+            k_ref[:] = (jax.lax.broadcasted_iota(
+                jnp.int32, (NA, TILE), 0) * 7) % NF
             vr_ref[:] = jnp.full((NA, TILE), 0.5, jnp.float32)
             vi_ref[:] = jnp.full((NA, TILE), 0.25, jnp.float32)
         else:
@@ -124,11 +123,11 @@ def _make_kernel(ablate):
         outr_ref[:] = jnp.zeros((NF, TILE), jnp.float32)
         outi_ref[:] = jnp.zeros((NF, TILE), jnp.float32)
         if ablate == "overlap":
-            outr_ref[0, 0] = dep
+            outr_ref[pl.ds(0, 1), :] += dep
 
         if ablate == "binonly":
-            outr_ref[0, :] = vr_ref[0, :]
-            outi_ref[0, :] = vi_ref[0, :]
+            outr_ref[pl.ds(0, 1), :] = vr_ref[pl.ds(0, 1), :]
+            outi_ref[pl.ds(0, 1), :] = vi_ref[pl.ds(0, 1), :]
             return
 
         if chains:
