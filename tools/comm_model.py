@@ -227,7 +227,28 @@ def main():
               f"[{ovs4.min():.4f}, {ovs4.max():.4f}] pred={pred4:.4f}",
               flush=True)
 
+        # Usability verdict: with 5-rep error bars the r5 run measured a
+        # NEGATIVE overhead median at the largest size (bars straddle
+        # zero) — the cross-process overhead is strictly BELOW the
+        # 1-core run-variance floor, so no bandwidth fit is publishable
+        # from this host at all. Record that conclusion explicitly
+        # instead of a fit line the data contradicts.
+        usable = (inv_bw > 0
+                  and (val_in_bar or pred_m >= ovs_m.min())
+                  and pred4 >= ovs4.min())
         fit = dict(
+            usable=bool(usable),
+            conclusion=(
+                "cross-process overhead is UNRESOLVED at the 1-core "
+                "run-variance floor: the largest size's 5-rep overhead "
+                "bar straddles zero, so the only supportable measured "
+                "statement is an upper bound — overhead <= the per-size "
+                "bar maxima (see rows' overhead_s_max). The v5p-16 "
+                "projection rests SOLELY on the exact byte accounting "
+                "(comm_report) + documented ICI constants, never on "
+                "this fit." if not usable else
+                "fit validates as an upper bound within measured error "
+                "bars"),
             interpretation="UPPER BOUND, not a point predictor: on this "
                  "1-core host the per-step comm overhead (2-4% of "
                  "weak_s) sits at the run-variance floor, so measured "
@@ -242,8 +263,9 @@ def main():
                    "(1-core host: varying P confounds comm with core "
                    "thrash)",
             fit_on_n_base=[sizes[0], sizes[2]],
-            bw_gbps=round(1e-9 / inv_bw, 4) if inv_bw > 0 else None,
-            fixed_cost_s=round(C, 4),
+            bw_gbps=(round(1e-9 / inv_bw, 4)
+                     if (usable and inv_bw > 0) else None),
+            fixed_cost_s=round(C, 4) if usable else None,
             validation_n_base=sizes[1],
             validation_pred_s=round(float(pred_m), 4),
             validation_measured_s=[round(float(ovs_m.min()), 4),
@@ -261,6 +283,9 @@ def main():
                 is_upper_bound=bool(pred4 >= ovs4.min())),
         )
         mp_rows = [p[2] for p in points] + [r4]
+        if not usable:
+            for row in mp_rows:     # no per-row predictions from a fit
+                row.pop("predicted_overhead_s", None)  # the data rejects
         # replace old multi-process rows with the fresh, modeled set
         data["rows"] = ([r for r in data["rows"]
                          if r.get("processes", 1) == 1] + mp_rows)
