@@ -188,8 +188,131 @@ def _make_kernel(R, off, ablate):
     return kernel
 
 
+def _make_manual_kernel(R, off):
+    """VERDICT r4->r5 #1b: grid=() kernel with EXPLICIT double-buffered
+    DMA — Pw rows streamed HBM->VMEM two slots deep, outputs copied
+    VMEM->HBM asynchronously, the dot pipeline of row r overlapping the
+    input DMA of row r+1 and the output DMA of row r-1 by construction.
+    If Mosaic's automatic grid pipelining is what fails to overlap (the
+    additive ablation), this variant times near max(dmaonly, dots); if
+    VMEM-port contention is physical, it stays additive too.
+
+    Wrong math by design at the epilogue margins (the per-row Nyquist
+    lane add uses a constant scalar instead of the per-row value) —
+    memory shape preserved."""
+    def pipeline(zr, zi, w1h, w1l, Tr, Ti, w2h, w2l):
+        X = jnp.concatenate([zr, zi], axis=0)
+        B1 = _dot3(w1h, w1l, X)
+        Br, Bi = B1[:M1], B1[M1:]
+        C2 = jnp.concatenate([Br * Tr - Bi * Ti, Br * Ti + Bi * Tr],
+                             axis=-1)
+        OUT = _dot3_r(C2, w2h, w2l)
+        return OUT.T.reshape(2, R * M1)[:, off:off + L]
+
+    def kernel(pw_ref, xr_ref, xi_ref, xig_ref, invdt_ref,
+               w1h_ref, w1l_ref, tr_ref, ti_ref, w2h_ref, w2l_ref,
+               alt_ref, owr_ref, owi_ref, odr_ref, odi_ref):
+        o_hbm = (owr_ref, owi_ref, odr_ref, odi_ref)
+
+        def body(pw_buf, ob, in_sem, out_sem):
+            def in_dma(slot, r):
+                return pltpu.make_async_copy(
+                    pw_ref.at[r], pw_buf.at[slot], in_sem.at[slot])
+
+            def out_dma(p, slot, r):
+                return pltpu.make_async_copy(
+                    ob[p].at[slot], o_hbm[p].at[r], out_sem.at[slot, p])
+
+            in_dma(0, 0).start()
+            args = (w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
+                    w2h_ref[:], w2l_ref[:])
+            alt = alt_ref[0]
+            s = xig_ref[:] * invdt_ref[0, 0]
+            nyq = invdt_ref[0, 1]          # constant stand-in scalar
+
+            def loop(r, _):
+                slot = r % 2
+
+                @pl.when(r + 1 < NA)
+                def _():
+                    in_dma((r + 1) % 2, r + 1).start()
+
+                in_dma(slot, r).wait()
+                # the output buffers of this slot were last used by row
+                # r-2; their copies must land before we overwrite
+                @pl.when(r >= 2)
+                def _():
+                    for p in range(4):
+                        out_dma(p, slot, r - 2).wait()
+
+                p = pw_buf[pl.ds(slot, 1)][0]
+                zr = p * xr_ref[0]
+                zi = p * xi_ref[0]
+                OW = pipeline(zr, zi, *args)
+                OD = pipeline(-zi * s, zr * s, *args)
+                vals = (OW[0] + nyq * alt, OW[1] + nyq * alt,
+                        OD[0] + nyq * alt, OD[1] + nyq * alt)
+                for p_i in range(4):
+                    ob[p_i][pl.ds(slot, 1), :] = vals[p_i][None, :]
+                    out_dma(p_i, slot, r).start()
+                return 0
+
+            jax.lax.fori_loop(0, NA, loop, 0)
+            # drain the last two rows' output copies
+            for r in (NA - 2, NA - 1):
+                for p in range(4):
+                    out_dma(p, r % 2, r).wait()
+
+        pl.run_scoped(
+            body,
+            pw_buf=pltpu.VMEM((2, K1, M2), jnp.float32),
+            ob=[pltpu.VMEM((2, L), jnp.float32) for _ in range(4)],
+            in_sem=pltpu.SemaphoreType.DMA((2,)),
+            out_sem=pltpu.SemaphoreType.DMA((2, 4)),
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=())
+def run_manual(Pw, xr_g, xi_g, xig):
+    start, length = START, L
+    r0 = start // M1
+    r1 = -(-(start + length) // M1)
+    R = r1 - r0
+    off = start - r0 * M1
+    (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(M, r0, r1, 1)
+    alt_keep = alt[start:start + length][None, :]
+    kernel = _make_manual_kernel(R, off)
+    const = lambda shape: pl.BlockSpec(memory_space=pltpu.VMEM)
+    scal = jnp.ones((1, 128), jnp.float32)
+    wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),      # Pw stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # xr
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # xi
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # xig
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # invdt scalars
+        ] + wspecs
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],     # alt
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.HBM)
+                        for _ in range(4)),
+        out_shape=tuple(jax.ShapeDtypeStruct((NA, L), jnp.float32)
+                        for _ in range(4)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+    )(Pw, xr_g[0], xi_g[0], xig, scal,
+      *[jnp.asarray(w) for w in (W1h, W1l, Tr, Ti, W2h, W2l)],
+      jnp.asarray(alt_keep))
+    return sum(jnp.sum(o) for o in outs)
+
+
 @functools.partial(jax.jit, static_argnames=("ablate", "interpret"))
 def run(Pw, xr_g, xi_g, xig, ablate, interpret=False):
+    if ablate == "manual":
+        return run_manual(Pw, xr_g, xi_g, xig)
     if ablate.startswith("dma"):
         return run_dma(Pw, ablate)
 
@@ -297,7 +420,7 @@ def main():
     if "--overlap" in sys.argv:
         # r5 VERDICT #1 set: the additivity-gap discriminators
         variants = ("full", "dmaonly", "overlap", "noout",
-                    "ksplit2", "ksplit4")
+                    "ksplit2", "ksplit4", "manual")
     for ab in variants:
         try:
             f = lambda i, ab=ab: run(Pw + jnp.float32(i) * 0, xr, xi, xig,
