@@ -136,6 +136,44 @@ def main():
     check("grad through fused kernels on-chip", np.isfinite(gn) and gn > 0,
           f"|g|={gn:.3e}")
 
+    # 6e. banded-reassign clamp geometry on hardware (ADVICE r4 high):
+    # nf = 293 (% 8 != 0) with every unmasked element binned just BELOW
+    # the static strip, so the dynamic band start hits its clamp bound
+    # (pre-fix this bound was misaligned -> pl.multiple_of asserted a
+    # falsehood -> UB only visible on chip, never in interpret mode).
+    # Pallas banded output must match the jnp scatter oracle.
+    from ssqueeze_rs_tpu.ops.reassign_pallas import reassign_pallas
+    from ssqueeze_rs_tpu.ops.ssqueeze import reassign as reassign_jnp
+    na_b, n_b = 293, 4096
+    kb = np.full((na_b, n_b), 250.0, np.float32)     # near strip sk=256
+    kb[:40] = 270.0                                  # some strip rows
+    wr_b = np.ones((na_b, n_b), np.float32)
+    wr_b[48:56] = 0.0                                # masked (mag < gamma)
+    dib = 2 * np.pi * kb                             # ratio == target bin
+    params_b = dict(vmin=0.0, dv=1.0)
+    cb = jnp.asarray(np.full(na_b, 1.0, np.float32))
+    sfs_b = jnp.zeros((na_b,), jnp.float32)
+
+    @jax.jit
+    def band_clamp_diff(wr, di):
+        Wx = jax.lax.complex(wr, jnp.zeros_like(wr))
+        dWx = jax.lax.complex(jnp.zeros_like(di), di)
+        tx_p = reassign_pallas(Wx, dWx, cb, 1e-6, sfs_b, params_b,
+                               mode="lin", flipud=False, transform="cwt",
+                               nf=na_b)
+        pj = {k: jnp.asarray(v) for k, v in params_b.items()}
+        tx_o = reassign_jnp(Wx, dWx, cb, jnp.float32(1e-6), sfs_b, pj,
+                            mode="lin", flipud=False, fused=True,
+                            transform="cwt", nf=na_b)
+        num = jnp.sum(jnp.abs(tx_p - tx_o))
+        den = jnp.sum(jnp.abs(tx_o))
+        return num / den, den
+
+    rel_b, den_b = (float(v) for v in
+                    band_clamp_diff(jnp.asarray(wr_b), jnp.asarray(dib)))
+    check("banded clamp geometry vs oracle (nf%8!=0)",
+          rel_b < 1e-6 and den_b > 0, f"rel={rel_b:.1e}")
+
     # 6d. exact hybrid chunked ssq_cwt on the 1-device mesh (all_gather +
     # all_to_all lowering on hardware)
     from ssqueeze_rs_tpu.parallel import chunked_ssq_cwt
