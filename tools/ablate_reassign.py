@@ -92,6 +92,7 @@ def _bins(C, D, A, B, tile_idx):
 
 def _make_kernel(ablate):
     chains = int(ablate[6:]) if ablate.startswith("chains") else 0
+    group = int(ablate[5:]) if ablate.startswith("group") else 0
 
     def kernel(wr_ref, wi_ref, dr_ref, di_ref, const_ref,
                outr_ref, outi_ref, k_ref, vr_ref, vi_ref, *acc_refs):
@@ -151,6 +152,37 @@ def _make_kernel(ablate):
             for cc in range(chains):
                 outr_ref[:] += acc_refs[2 * cc][:]
                 outi_ref[:] += acc_refs[2 * cc + 1][:]
+            return
+
+        if group:
+            # THE RMW FIX (r5, from addonly ~ full): sum G rows' one-hot
+            # contributions in vregs, ONE output += per group — the
+            # output-block read-modify-write volume drops G-fold. (The
+            # r2 "4x unroll" kept 4 separate +=, saving nothing.)
+            def body(g, _):
+                i0 = g * group
+                tr = jnp.zeros((NF, TILE), jnp.float32)
+                ti = jnp.zeros((NF, TILE), jnp.float32)
+                for c in range(group):
+                    ki = k_ref[pl.ds(i0 + c, 1), :]
+                    onehot = rows == ki
+                    tr = tr + jnp.where(onehot,
+                                        vr_ref[pl.ds(i0 + c, 1), :], 0.0)
+                    ti = ti + jnp.where(onehot,
+                                        vi_ref[pl.ds(i0 + c, 1), :], 0.0)
+                outr_ref[:] += tr
+                outi_ref[:] += ti
+                return 0
+
+            jax.lax.fori_loop(0, NA // group, body, 0)
+            # ragged tail rows, one at a time
+            for i in range((NA // group) * group, NA):
+                ki = k_ref[pl.ds(i, 1), :]
+                onehot = rows == ki
+                outr_ref[:] += jnp.where(onehot, vr_ref[pl.ds(i, 1), :],
+                                         0.0)
+                outi_ref[:] += jnp.where(onehot, vi_ref[pl.ds(i, 1), :],
+                                         0.0)
             return
 
         def body(i, _):
@@ -224,6 +256,9 @@ def main():
                 "chains2", "chains4", "overlap")
     if "--quick" in sys.argv:
         variants = ("full", "dmaonly", "overlap")
+    if "--group" in sys.argv:
+        # r5 follow-up: grouped-accumulate RMW reduction
+        variants = ("full", "group2", "group4", "group8", "group16")
     for ab in variants:
         try:
             f = lambda i, ab=ab: run(wr + jnp.float32(i) * 0, wi, dr, di,
