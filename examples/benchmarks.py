@@ -97,11 +97,13 @@ def main():
 
         for name, fn in (("cwt", cwt_fn), ("stft", stft_fn),
                          ("ssq_cwt", ssq_cwt_fn), ("ssq_stft", ssq_stft_fn)):
-            # 10k cells need a DEEP enqueue: the transform is ~1-3 ms so
-            # the relay round-trip (~35 ms) dominates unless amortized
-            # over many queued calls; at 160k the chip is busy ~40 ms
-            # per call and the RTT hides behind compute (K=4 suffices).
-            t = timed(fn, (x,), K=16 if N == 10_000 else 4)
+            # DEEP enqueue at every size (K=16, the bench.py
+            # steady-state methodology): at K=4 the ~35 ms relay RTT
+            # leaks ~RTT/4 ~ 4.5 ms into every 160k cell — the r4
+            # "mixed-vintage" table was really this methodology skew
+            # (r5: regenerated K=4 reproduced the "stale" numbers
+            # exactly; K=16 matches the driver record).
+            t = timed(fn, (x,), K=16)
             ref = REF_GPU_S[(N, name)]
             rows.append((N, name, t, ref, ref / t))
             results["single"][f"{N // 1000}k-{name}"] = {
@@ -169,7 +171,9 @@ def main():
 
         for name, fn in (("cwt", cwt_b160), ("ssq_cwt", ssq_b160)):
             try:
-                t = timed(fn, (X,), K=3, reps=2)
+                # K=8: at K=3 the relay RTT leaks ~1.5 ms/transform
+                # into the b8 per-transform number
+                t = timed(fn, (X,), K=8, reps=2)
             except Exception as e:  # OOM at this batch: record honestly
                 results["batched_160k"][f"{name}-b{B}"] = {
                     "error": f"{type(e).__name__}"}
