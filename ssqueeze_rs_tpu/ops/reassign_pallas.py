@@ -146,6 +146,27 @@ def _band_mode():
     return s, b
 
 
+def _group_mode() -> int:
+    """Grouped-accumulate width G (r5, from the ablation roofline):
+    the scatter loop is output-RMW-bound — removing ALL compare/select
+    work saves ~1 ms of 24.6 (addonly ablation) while the na x 2-plane
+    read-modify-write of the (nf, T) output block is the cost. Summing
+    G rows' one-hot contributions in vregs and doing ONE `+=` per group
+    divides that RMW volume by G. (The r2 4x-unroll kept 4 separate
+    `+=` — same RMW volume — which is why it measured neutral.)
+
+    Within a group the FP association changes ((acc+a)+b -> acc+(a+b)),
+    so results differ at ulp level from G=1; the banded and full
+    branches are grouped IDENTICALLY (same row partition, same in-group
+    order), so band-vs-full stays bitwise-equal at any fixed G, and
+    run-to-run determinism is unaffected. Read at trace time — A/B in
+    separate processes. '1'/'0' disables. Default pending the on-chip
+    A/B (flip to the measured winner here)."""
+    import os
+    g = int(os.environ.get("SSQ_TPU_REASSIGN_GROUP", "1"))
+    return max(g, 1)
+
+
 def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
                  n_valid, skip="0", phase_in=False):
     def kernel(*refs):
@@ -222,6 +243,8 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
             # adds — take the full loop unless c is finite.
             banded_ok = (nbad == 0) & jnp.isfinite(c)
 
+            G = _group_mode()
+
             @pl.when(banded_ok)
             def _():
                 rows_b = (jax.lax.broadcasted_iota(
@@ -229,34 +252,77 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
                 rows_s = (jax.lax.broadcasted_iota(
                     jnp.int32, (strip, tile), 0) + sk)
 
-                def body(i, _):
+                def contrib(i):
                     ki = k_ref[pl.ds(i, 1), :]
                     vri = vr_ref[pl.ds(i, 1), :]
                     vii = vi_ref[pl.ds(i, 1), :]
                     ob = rows_b == ki
-                    outr_ref[pl.ds(lo, Bp), :] += jnp.where(ob, vri, 0.0)
-                    outi_ref[pl.ds(lo, Bp), :] += jnp.where(ob, vii, 0.0)
                     osm = rows_s == ki
-                    outr_ref[pl.ds(sk, strip), :] += jnp.where(osm, vri,
-                                                               0.0)
-                    outi_ref[pl.ds(sk, strip), :] += jnp.where(osm, vii,
-                                                               0.0)
-                    return 0
+                    return (jnp.where(ob, vri, 0.0),
+                            jnp.where(ob, vii, 0.0),
+                            jnp.where(osm, vri, 0.0),
+                            jnp.where(osm, vii, 0.0))
 
-                jax.lax.fori_loop(0, na, body, 0)
+                def flush(parts):
+                    br, bi, sr, si = parts
+                    outr_ref[pl.ds(lo, Bp), :] += br
+                    outi_ref[pl.ds(lo, Bp), :] += bi
+                    outr_ref[pl.ds(sk, strip), :] += sr
+                    outi_ref[pl.ds(sk, strip), :] += si
+
+                if G > 1:
+                    def body(g, _):
+                        i0 = g * G
+                        parts = contrib(i0)
+                        for c in range(1, G):
+                            nxt = contrib(i0 + c)
+                            parts = tuple(a + b
+                                          for a, b in zip(parts, nxt))
+                        flush(parts)
+                        return 0
+
+                    jax.lax.fori_loop(0, na // G, body, 0)
+                    for i in range((na // G) * G, na):
+                        flush(contrib(i))
+                else:
+                    def body(i, _):
+                        flush(contrib(i))
+                        return 0
+
+                    jax.lax.fori_loop(0, na, body, 0)
 
             @pl.when(jnp.logical_not(banded_ok))
             def _():
-                def body(i, _):
+                def contrib(i):
                     ki = k_ref[pl.ds(i, 1), :]
                     onehot = rows == ki
-                    outr_ref[:] += jnp.where(onehot,
-                                             vr_ref[pl.ds(i, 1), :], 0.0)
-                    outi_ref[:] += jnp.where(onehot,
-                                             vi_ref[pl.ds(i, 1), :], 0.0)
-                    return 0
+                    return (jnp.where(onehot, vr_ref[pl.ds(i, 1), :], 0.0),
+                            jnp.where(onehot, vi_ref[pl.ds(i, 1), :], 0.0))
 
-                jax.lax.fori_loop(0, na, body, 0)
+                def flush(parts):
+                    outr_ref[:] += parts[0]
+                    outi_ref[:] += parts[1]
+
+                if G > 1:
+                    def body(g, _):
+                        i0 = g * G
+                        parts = contrib(i0)
+                        for c in range(1, G):
+                            nxt = contrib(i0 + c)
+                            parts = tuple(a + b
+                                          for a, b in zip(parts, nxt))
+                        flush(parts)
+                        return 0
+
+                    jax.lax.fori_loop(0, na // G, body, 0)
+                    for i in range((na // G) * G, na):
+                        flush(contrib(i))
+                else:
+                    def body(i, _):
+                        flush(contrib(i))
+                        return 0
+
+                    jax.lax.fori_loop(0, na, body, 0)
             return
 
         # where-select accumulation measured fastest on v5e (vs
@@ -282,16 +348,41 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
 
             jax.lax.fori_loop(0, na, body, 0)
         else:
-            def body(i, _):
+            G = _group_mode()
+
+            def contrib(i):
                 ki = k_ref[pl.ds(i, 1), :]    # (1, T)
                 onehot = rows == ki
-                outr_ref[:] += jnp.where(onehot, vr_ref[pl.ds(i, 1), :],
-                                         0.0)
-                outi_ref[:] += jnp.where(onehot, vi_ref[pl.ds(i, 1), :],
-                                         0.0)
-                return 0
+                return (jnp.where(onehot, vr_ref[pl.ds(i, 1), :], 0.0),
+                        jnp.where(onehot, vi_ref[pl.ds(i, 1), :], 0.0))
 
-            loop = lambda: jax.lax.fori_loop(0, na, body, 0)
+            if G > 1:
+                # grouped accumulate (see _group_mode): G rows summed in
+                # vregs, one output-block += per group
+                def body(g, _):
+                    i0 = g * G
+                    pr, pi = contrib(i0)
+                    for c in range(1, G):
+                        nr, ni = contrib(i0 + c)
+                        pr, pi = pr + nr, pi + ni
+                    outr_ref[:] += pr
+                    outi_ref[:] += pi
+                    return 0
+
+                def loop():
+                    jax.lax.fori_loop(0, na // G, body, 0)
+                    for i in range((na // G) * G, na):
+                        pr, pi = contrib(i)
+                        outr_ref[:] += pr
+                        outi_ref[:] += pi
+            else:
+                def body(i, _):
+                    pr, pi = contrib(i)
+                    outr_ref[:] += pr
+                    outi_ref[:] += pi
+                    return 0
+
+                loop = lambda: jax.lax.fori_loop(0, na, body, 0)
             if skip == "tile":
                 @pl.when(jnp.max(k_ref[:]) >= 0)
                 def _():

@@ -307,3 +307,72 @@ def test_band_mode_default_and_spellings(monkeypatch):
     monkeypatch.setenv("SSQ_TPU_REASSIGN_BAND", "12,8")
     with pytest.raises(ValueError):
         _band_mode()
+
+
+@pytest.mark.parametrize("G", ["4", "8"])   # na=92: 92 % 8 = 4 tail rows
+def test_grouped_accumulate_matches_ungrouped(monkeypatch, G):
+    """SSQ_TPU_REASSIGN_GROUP (r5): G rows' one-hot contributions summed
+    in vregs before ONE output += per group (the RMW-volume fix from the
+    ablation roofline). Within a group the add association changes, so
+    vs G=1 the comparison is tight-allclose, not bitwise; band-vs-full
+    at the SAME G stays BITWISE (identical row partition + in-group
+    order on both branches)."""
+    import jax
+    import jax.numpy as jnp
+    from ssqueeze_rs_tpu.ops.reassign_pallas import reassign_pallas
+    from ssqueeze_rs_tpu.ops.ssqueeze import plan_reassignment
+
+    rng = np.random.default_rng(11)
+    na = nf = 92
+    n = 1200
+    ssq_freqs = 0.001 * 2.0 ** (np.arange(na) / 8)
+    const_arr, mode, params = plan_reassignment(
+        ssq_freqs, na, True, transform="cwt", cwt_scaletype="log", nv=8,
+        scales=ssq_freqs.reshape(-1, 1))
+    Wx = (rng.standard_normal((na, n)) + 1j * rng.standard_normal((na, n)))
+    # mixed: half the rows concentrated on one bin (multi-hit bins in
+    # every group), half scattered
+    f0 = ssq_freqs[na // 2]
+    dWx = (rng.standard_normal((na, n))
+           + 1j * rng.standard_normal((na, n)))
+    dWx[::2] = (2 * np.pi * f0 * 1j * Wx)[::2]
+    gamma = 1e-6
+    const_j = jnp.asarray(const_arr)
+    Sfs = jnp.zeros(na)
+    kw = dict(mode=mode, flipud=True, transform="cwt", nf=nf,
+              interpret=True)
+
+    def run():
+        jax.clear_caches()
+        return np.asarray(reassign_pallas(
+            jnp.asarray(Wx), jnp.asarray(dWx), const_j, gamma, Sfs,
+            params, **kw))
+
+    monkeypatch.setenv("SSQ_TPU_REASSIGN_BAND", "off")
+    monkeypatch.setenv("SSQ_TPU_REASSIGN_GROUP", "1")
+    base = run()
+    monkeypatch.setenv("SSQ_TPU_REASSIGN_GROUP", G)
+    got = run()
+    bar = 1e-6 * np.abs(base).max()
+    assert np.allclose(got, base, atol=bar), np.abs(got - base).max()
+    assert not np.array_equal(got, base) or np.abs(base).max() == 0, \
+        "grouping changed nothing — the grouped path was not taken"
+
+    # band-vs-full BITWISE at the same G (banded-branch signal)
+    dWb = 2 * np.pi * f0 * 1j * Wx
+    def run_b():
+        jax.clear_caches()
+        return np.asarray(reassign_pallas(
+            jnp.asarray(Wx), jnp.asarray(dWb), const_j, gamma, Sfs,
+            params, **kw))
+
+    monkeypatch.setenv("SSQ_TPU_REASSIGN_BAND", "off")
+    full_g = run_b()
+    monkeypatch.setenv("SSQ_TPU_REASSIGN_BAND", "32,32")
+    band_g = run_b()
+    assert np.array_equal(band_g, full_g), (
+        "banded != full at G=" + G + " (max diff "
+        f"{np.abs(band_g - full_g).max():.3e})")
+    monkeypatch.delenv("SSQ_TPU_REASSIGN_GROUP")
+    monkeypatch.delenv("SSQ_TPU_REASSIGN_BAND")
+    jax.clear_caches()
