@@ -573,17 +573,43 @@ def _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode, params, gamma,
         txr_ref[0] = jnp.zeros((nf8, T), jnp.float32)
         txi_ref[0] = jnp.zeros((nf8, T), jnp.float32)
 
+        from .reassign_pallas import _group_mode
+        G = _group_mode()
+
         def full_loop():
-            def body(i, _):
+            def contrib(i):
                 ki = k_ref[pl.ds(i, 1), :]
                 onehot = rows == ki
-                txr_ref[0] += jnp.where(onehot, vr_ref[pl.ds(i, 1), :],
-                                        0.0)
-                txi_ref[0] += jnp.where(onehot, vi_ref[pl.ds(i, 1), :],
-                                        0.0)
-                return 0
+                return (jnp.where(onehot, vr_ref[pl.ds(i, 1), :], 0.0),
+                        jnp.where(onehot, vi_ref[pl.ds(i, 1), :], 0.0))
 
-            jax.lax.fori_loop(0, nf, body, 0)
+            if G > 1:
+                # grouped accumulate (reassign_pallas._group_mode): G
+                # rows summed in vregs, one output += per group — the
+                # loop is output-RMW-bound (r5 ablation)
+                def body(g, _):
+                    i0 = g * G
+                    pr, pi = contrib(i0)
+                    for c in range(1, G):
+                        nr, ni = contrib(i0 + c)
+                        pr, pi = pr + nr, pi + ni
+                    txr_ref[0] += pr
+                    txi_ref[0] += pi
+                    return 0
+
+                jax.lax.fori_loop(0, nf // G, body, 0)
+                for i in range((nf // G) * G, nf):
+                    pr, pi = contrib(i)
+                    txr_ref[0] += pr
+                    txi_ref[0] += pi
+            else:
+                def body(i, _):
+                    pr, pi = contrib(i)
+                    txr_ref[0] += pr
+                    txi_ref[0] += pi
+                    return 0
+
+                jax.lax.fori_loop(0, nf, body, 0)
 
         # banded fast path (r4; see reassign_pallas._band_mode and
         # DESIGN.md "Banded reassignment"): long STFT tones/chirps band
@@ -630,28 +656,48 @@ def _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode, params, gamma,
                 rows_hi = (jax.lax.broadcasted_iota(
                     jnp.int32, (nf8 - hi0, T), 0) + hi0)
 
-                def body(i, _):
+                def contrib_b(i):
                     ki = k_ref[pl.ds(i, 1), :]
                     vri = vr_ref[pl.ds(i, 1), :]
                     vii = vi_ref[pl.ds(i, 1), :]
                     ob = rows_b == ki
-                    txr_ref[0, pl.ds(lo, Bp), :] += jnp.where(ob, vri,
-                                                              0.0)
-                    txi_ref[0, pl.ds(lo, Bp), :] += jnp.where(ob, vii,
-                                                              0.0)
                     ol = rows_lo == ki
-                    txr_ref[0, pl.ds(0, SLO), :] += jnp.where(ol, vri,
-                                                              0.0)
-                    txi_ref[0, pl.ds(0, SLO), :] += jnp.where(ol, vii,
-                                                              0.0)
                     oh = rows_hi == ki
-                    txr_ref[0, pl.ds(hi0, nf8 - hi0), :] += jnp.where(
-                        oh, vri, 0.0)
-                    txi_ref[0, pl.ds(hi0, nf8 - hi0), :] += jnp.where(
-                        oh, vii, 0.0)
-                    return 0
+                    return (jnp.where(ob, vri, 0.0),
+                            jnp.where(ob, vii, 0.0),
+                            jnp.where(ol, vri, 0.0),
+                            jnp.where(ol, vii, 0.0),
+                            jnp.where(oh, vri, 0.0),
+                            jnp.where(oh, vii, 0.0))
 
-                jax.lax.fori_loop(0, nf, body, 0)
+                def flush_b(p):
+                    txr_ref[0, pl.ds(lo, Bp), :] += p[0]
+                    txi_ref[0, pl.ds(lo, Bp), :] += p[1]
+                    txr_ref[0, pl.ds(0, SLO), :] += p[2]
+                    txi_ref[0, pl.ds(0, SLO), :] += p[3]
+                    txr_ref[0, pl.ds(hi0, nf8 - hi0), :] += p[4]
+                    txi_ref[0, pl.ds(hi0, nf8 - hi0), :] += p[5]
+
+                if G > 1:
+                    def body(g, _):
+                        i0 = g * G
+                        parts = contrib_b(i0)
+                        for c in range(1, G):
+                            nxt = contrib_b(i0 + c)
+                            parts = tuple(a + b
+                                          for a, b in zip(parts, nxt))
+                        flush_b(parts)
+                        return 0
+
+                    jax.lax.fori_loop(0, nf // G, body, 0)
+                    for i in range((nf // G) * G, nf):
+                        flush_b(contrib_b(i))
+                else:
+                    def body(i, _):
+                        flush_b(contrib_b(i))
+                        return 0
+
+                    jax.lax.fori_loop(0, nf, body, 0)
 
             @pl.when(jnp.logical_not(banded_ok))
             def _():

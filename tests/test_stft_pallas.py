@@ -297,3 +297,44 @@ def test_mega_ssq_stft_banded_bitwise(monkeypatch, sig):
     assert np.array_equal(Sb, S0)
     assert np.array_equal(Tb, T0)
     assert np.abs(Tb).sum() > 0
+
+
+@pytest.mark.parametrize("sig", ["tone", "noise"])
+def test_mega_ssq_stft_grouped_accumulate(monkeypatch, sig):
+    """SSQ_TPU_REASSIGN_GROUP in the mega kernel (r5): grouped vs
+    ungrouped is tight-allclose (in-group association only), and
+    band-vs-full stays BITWISE at the same G — on both the banded-branch
+    signal (gamma-masked tone) and the full-loop fallback (noise).
+    nf=129, G=8 -> 16 groups + 1 tail row."""
+    from ssqueeze_rs_tpu import ssq_stft
+
+    rng = np.random.default_rng(4)
+    N = 2000
+    t = np.arange(N) / 1000.0
+    x = (np.cos(2 * np.pi * 97 * t) if sig == "tone"
+         else rng.standard_normal(N)).astype(np.float32)
+    gamma = 1e-3 if sig == "tone" else None
+
+    monkeypatch.setenv("SSQ_TPU_KERNELS", "1")
+
+    def run(band, group):
+        monkeypatch.setenv("SSQ_TPU_REASSIGN_BAND", band)
+        monkeypatch.setenv("SSQ_TPU_REASSIGN_GROUP", group)
+        _clear()
+        kw = {} if gamma is None else {"gamma": gamma}
+        Tx, Sx, *_ = ssq_stft(x, n_fft=256, fs=1000.0, dtype="float32",
+                              **kw)
+        return np.asarray(Tx), np.asarray(Sx)
+
+    T1, S1 = run("off", "1")
+    T8, S8 = run("off", "8")
+    assert np.array_equal(S8, S1)            # Sx untouched by grouping
+    bar = 1e-6 * np.abs(T1).max()
+    assert np.allclose(T8, T1, atol=bar), np.abs(T8 - T1).max()
+
+    T8b, _ = run("32,32", "8")
+    assert np.array_equal(T8b, T8), (
+        f"banded != full at G=8 (max {np.abs(T8b - T8).max():.3e})")
+    monkeypatch.delenv("SSQ_TPU_REASSIGN_GROUP")
+    monkeypatch.delenv("SSQ_TPU_REASSIGN_BAND")
+    _clear()
