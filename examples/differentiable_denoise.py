@@ -75,10 +75,30 @@ def main():
         return optax.apply_updates(x, updates), state, val
 
     t0 = time.perf_counter()
-    for i in range(steps):
-        x, state, val = step(x, state)
-        if i % 30 == 0 or i == steps - 1:
-            print(f"step {i:3d}  loss {float(val):10.4f}", flush=True)
+    if "--host-loop" in sys.argv:
+        # one dispatch per step: fine locally, dominated by round-trip
+        # latency over a relay-attached chip
+        for i in range(steps):
+            x, state, val = step(x, state)
+            if i % 30 == 0 or i == steps - 1:
+                print(f"step {i:3d}  loss {float(val):10.4f}", flush=True)
+    else:
+        # TPU-idiomatic: the WHOLE optimization is one compiled program
+        # (lax.scan over steps), one dispatch, no host round trips
+        @jax.jit
+        def optimize(x, state):
+            def body(carry, _):
+                x, state = carry
+                x, state, val = step(x, state)
+                return (x, state), val
+            (x, state), vals = jax.lax.scan(body, (x, state), None,
+                                            length=steps)
+            return x, vals
+
+        x, vals = optimize(x, state)
+        vals = np.asarray(vals)
+        for i in (0, steps // 2, steps - 1):
+            print(f"step {i:3d}  loss {vals[i]:10.4f}", flush=True)
     x = np.asarray(jax.block_until_ready(x))
     dt = time.perf_counter() - t0
 
