@@ -73,6 +73,7 @@ def main():
         best = min(best, (time.perf_counter() - t0) / 8)
     print(f"skip={os.environ.get('SSQ_TPU_REASSIGN_SKIP', '0')} "
           f"band={os.environ.get('SSQ_TPU_REASSIGN_BAND', '-')} "
+          f"group={os.environ.get('SSQ_TPU_REASSIGN_GROUP', '1')} "
           f"sig={sig}: {best * 1e3:.2f} ms  (checksum {out:.6g})")
 
 

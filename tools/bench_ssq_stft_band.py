@@ -48,6 +48,7 @@ def main():
         float(outs[-1])
         best = min(best, (time.perf_counter() - t0) / 8)
     print(f"band={os.environ.get('SSQ_TPU_REASSIGN_BAND', '-(default)')} "
+          f"group={os.environ.get('SSQ_TPU_REASSIGN_GROUP', '1')} "
           f"sig={sig}: {best * 1e3:.2f} ms  (checksum {out:.6g})")
 
 
