@@ -174,6 +174,34 @@ def main():
     check("banded clamp geometry vs oracle (nf%8!=0)",
           rel_b < 1e-6 and den_b > 0, f"rel={rel_b:.1e}")
 
+    # 6f. grouped-accumulate scatter on hardware (r5): G rows' one-hot
+    # contributions summed in vregs, one output += per group — the
+    # association change is ulp-level vs the jnp oracle but the Mosaic
+    # lowering of the grouped fused tree only exists on chip. Trace-time
+    # env flag: set + clear_caches forces a retrace in-process.
+    gprev = os.environ.get("SSQ_TPU_REASSIGN_GROUP")
+    os.environ["SSQ_TPU_REASSIGN_GROUP"] = "8"
+    jax.clear_caches()
+    try:
+        rel_g, den_g = (float(v) for v in
+                        band_clamp_diff(jnp.asarray(wr_b), jnp.asarray(dib)))
+        check("grouped accumulate (G=8, banded branch) vs oracle",
+              rel_g < 1e-6 and den_g > 0, f"rel={rel_g:.1e}")
+        # scattered targets -> zero-out-of-band test fails -> the
+        # grouped FULL loop (the noise path the flag is aimed at)
+        rng_g = np.random.default_rng(5)
+        kb_f = rng_g.uniform(0, na_b - 1, (na_b, n_b)).astype(np.float32)
+        rel_f, den_f = (float(v) for v in band_clamp_diff(
+            jnp.asarray(wr_b), jnp.asarray(2 * np.pi * kb_f)))
+        check("grouped accumulate (G=8, full loop) vs oracle",
+              rel_f < 1e-6 and den_f > 0, f"rel={rel_f:.1e}")
+    finally:
+        if gprev is None:
+            os.environ.pop("SSQ_TPU_REASSIGN_GROUP", None)
+        else:
+            os.environ["SSQ_TPU_REASSIGN_GROUP"] = gprev
+        jax.clear_caches()
+
     # 6d. exact hybrid chunked ssq_cwt on the 1-device mesh (all_gather +
     # all_to_all lowering on hardware)
     from ssqueeze_rs_tpu.parallel import chunked_ssq_cwt
