@@ -215,7 +215,9 @@ def main():
                 ssq_cwt(x + i * 1e-12, wavelet, scales=scales, fs=1.0,
                         dtype="float32", **kw)[0]))
 
-        t = timed(ssq_real, (x,), K=4)
+        # K=8 matches bench.py's tone-cell enqueue depth; K=4 leaks
+        # ~RTT/4 of relay round-trip into a ~25-35 ms cell
+        t = timed(ssq_real, (x,), K=8)
         results["realsig_160k_ssq_cwt"][name] = {
             "tpu_s": round(t, 6), "ref_gpu_s": ref,
             "speedup": round(ref / t, 2),
@@ -230,7 +232,7 @@ def main():
             return jnp.sum(jnp.abs(
                 ssq_stft(x + i * 1e-12, n_fft=n_fft, dtype="float32")[0]))
 
-        t = timed(ssq_st_real, (x,), K=4)
+        t = timed(ssq_st_real, (x,), K=8)
         results["realsig_160k_ssq_stft"][name] = {
             "tpu_s": round(t, 6), "ref_gpu_s": ref_st,
             "speedup": round(ref_st / t, 2)}

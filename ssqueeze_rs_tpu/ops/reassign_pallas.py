@@ -160,8 +160,13 @@ def _group_mode() -> int:
     branches are grouped IDENTICALLY (same row partition, same in-group
     order), so band-vs-full stays bitwise-equal at any fixed G, and
     run-to-run determinism is unaffected. Read at trace time — A/B in
-    separate processes. '1'/'0' disables. Default pending the on-chip
-    A/B (flip to the measured winner here)."""
+    separate processes. '1'/'0' disables.
+
+    r5 on-chip A/B: **measured KILL** — micro 25.0 (G=1) vs 32.4-34.2
+    (G=2..16); production noise/tone_g neutral. Mosaic materializes
+    each (nf, T) tree operand in VMEM (the r2 2-row-vreg-group lesson),
+    so grouping ADDS traffic instead of cutting RMW. Default stays 1;
+    kept as a documented variant (docs/DESIGN.md round-5 roofline)."""
     import os
     g = int(os.environ.get("SSQ_TPU_REASSIGN_GROUP", "1"))
     return max(g, 1)
