@@ -290,8 +290,25 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
                     for i in range((na // G) * G, na):
                         flush(contrib(i))
                 else:
+                    # interleave compute and store per plane: emitting
+                    # all of a row's where-values before ANY `+=` (the
+                    # r5 contrib/flush shape) keeps multi-block temps
+                    # live across the RMW and Mosaic spills them to
+                    # VMEM — +~15 ms on the 160k noise path (bisected)
                     def body(i, _):
-                        flush(contrib(i))
+                        ki = k_ref[pl.ds(i, 1), :]
+                        vri = vr_ref[pl.ds(i, 1), :]
+                        vii = vi_ref[pl.ds(i, 1), :]
+                        ob = rows_b == ki
+                        outr_ref[pl.ds(lo, Bp), :] += jnp.where(ob, vri,
+                                                                0.0)
+                        outi_ref[pl.ds(lo, Bp), :] += jnp.where(ob, vii,
+                                                                0.0)
+                        osm = rows_s == ki
+                        outr_ref[pl.ds(sk, strip), :] += jnp.where(
+                            osm, vri, 0.0)
+                        outi_ref[pl.ds(sk, strip), :] += jnp.where(
+                            osm, vii, 0.0)
                         return 0
 
                     jax.lax.fori_loop(0, na, body, 0)
@@ -323,8 +340,14 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
                     for i in range((na // G) * G, na):
                         flush(contrib(i))
                 else:
+                    # interleaved compute/store (see banded branch note)
                     def body(i, _):
-                        flush(contrib(i))
+                        ki = k_ref[pl.ds(i, 1), :]
+                        onehot = rows == ki
+                        outr_ref[:] += jnp.where(
+                            onehot, vr_ref[pl.ds(i, 1), :], 0.0)
+                        outi_ref[:] += jnp.where(
+                            onehot, vi_ref[pl.ds(i, 1), :], 0.0)
                         return 0
 
                     jax.lax.fori_loop(0, na, body, 0)
@@ -381,10 +404,14 @@ def _make_kernel(mode, params, gamma, flipud, transform, nf, na, tile,
                         outr_ref[:] += pr
                         outi_ref[:] += pi
             else:
+                # interleaved compute/store (see banded branch note)
                 def body(i, _):
-                    pr, pi = contrib(i)
-                    outr_ref[:] += pr
-                    outi_ref[:] += pi
+                    ki = k_ref[pl.ds(i, 1), :]
+                    onehot = rows == ki
+                    outr_ref[:] += jnp.where(onehot,
+                                             vr_ref[pl.ds(i, 1), :], 0.0)
+                    outi_ref[:] += jnp.where(onehot,
+                                             vi_ref[pl.ds(i, 1), :], 0.0)
                     return 0
 
                 loop = lambda: jax.lax.fori_loop(0, na, body, 0)

@@ -603,10 +603,17 @@ def _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode, params, gamma,
                     txr_ref[0] += pr
                     txi_ref[0] += pi
             else:
+                # interleave compute and store per plane: emitting both
+                # where-values before either `+=` keeps two (nf8, T)
+                # temps live across the RMW and Mosaic spills them to
+                # VMEM (bisected on the cwt kernel's noise path, r5)
                 def body(i, _):
-                    pr, pi = contrib(i)
-                    txr_ref[0] += pr
-                    txi_ref[0] += pi
+                    ki = k_ref[pl.ds(i, 1), :]
+                    onehot = rows == ki
+                    txr_ref[0] += jnp.where(onehot,
+                                            vr_ref[pl.ds(i, 1), :], 0.0)
+                    txi_ref[0] += jnp.where(onehot,
+                                            vi_ref[pl.ds(i, 1), :], 0.0)
                     return 0
 
                 jax.lax.fori_loop(0, nf, body, 0)
@@ -693,8 +700,26 @@ def _make_ssq_stft_kernel(n_fft, nf_pad, T, nf, nf8, mode, params, gamma,
                     for i in range((nf // G) * G, nf):
                         flush_b(contrib_b(i))
                 else:
+                    # interleaved compute/store (see full_loop note)
                     def body(i, _):
-                        flush_b(contrib_b(i))
+                        ki = k_ref[pl.ds(i, 1), :]
+                        vri = vr_ref[pl.ds(i, 1), :]
+                        vii = vi_ref[pl.ds(i, 1), :]
+                        ob = rows_b == ki
+                        txr_ref[0, pl.ds(lo, Bp), :] += jnp.where(
+                            ob, vri, 0.0)
+                        txi_ref[0, pl.ds(lo, Bp), :] += jnp.where(
+                            ob, vii, 0.0)
+                        ol = rows_lo == ki
+                        txr_ref[0, pl.ds(0, SLO), :] += jnp.where(
+                            ol, vri, 0.0)
+                        txi_ref[0, pl.ds(0, SLO), :] += jnp.where(
+                            ol, vii, 0.0)
+                        oh = rows_hi == ki
+                        txr_ref[0, pl.ds(hi0, nf8 - hi0), :] += jnp.where(
+                            oh, vri, 0.0)
+                        txi_ref[0, pl.ds(hi0, nf8 - hi0), :] += jnp.where(
+                            oh, vii, 0.0)
                         return 0
 
                     jax.lax.fori_loop(0, nf, body, 0)
