@@ -188,14 +188,25 @@ def _make_kernel(R, off, ablate):
     return kernel
 
 
+NA8 = -(-NA // 8) * 8      # 296: HBM refs are (8,128)-tiled — DMA row
+NB8 = NA8 // 8             # slices must be 8-row blocks
+
+
 def _make_manual_kernel(R, off):
     """VERDICT r4->r5 #1b: grid=() kernel with EXPLICIT double-buffered
-    DMA — Pw rows streamed HBM->VMEM two slots deep, outputs copied
-    VMEM->HBM asynchronously, the dot pipeline of row r overlapping the
-    input DMA of row r+1 and the output DMA of row r-1 by construction.
-    If Mosaic's automatic grid pipelining is what fails to overlap (the
-    additive ablation), this variant times near max(dmaonly, dots); if
-    VMEM-port contention is physical, it stays additive too.
+    DMA — Pw rows streamed HBM->VMEM in 8-row blocks two slots deep,
+    outputs copied VMEM->HBM asynchronously, the dot pipelines of block
+    b overlapping the input DMA of block b+1 and the output DMA of
+    block b-2 by construction. If Mosaic's automatic grid pipelining is
+    what fails to overlap (the additive ablation), this variant times
+    near max(dmaonly, dots); if VMEM-port contention is physical, it
+    stays additive too.
+
+    Mosaic DMA slice rules (learned here): a 1-row slice of a tiled
+    ref is ILLEGAL on BOTH sides — VMEM buffers (2, L) are (2,128)-
+    tiled and HBM outputs (NA, L) are (8,128)-tiled, so the stream
+    granularity must be 8 output rows (hence the 8-row blocks and the
+    NA8 pad).
 
     Wrong math by design at the epilogue margins (the per-row Nyquist
     lane add uses a constant scalar instead of the per-row value) —
@@ -215,13 +226,15 @@ def _make_manual_kernel(R, off):
         o_hbm = (owr_ref, owi_ref, odr_ref, odi_ref)
 
         def body(pw_buf, ob, in_sem, out_sem):
-            def in_dma(slot, r):
+            def in_dma(slot, b):
                 return pltpu.make_async_copy(
-                    pw_ref.at[r], pw_buf.at[slot], in_sem.at[slot])
+                    pw_ref.at[pl.ds(b * 8, 8)], pw_buf.at[slot],
+                    in_sem.at[slot])
 
-            def out_dma(p, slot, r):
+            def out_dma(p, slot, b):
                 return pltpu.make_async_copy(
-                    ob[p].at[slot], o_hbm[p].at[r], out_sem.at[slot, p])
+                    ob[p].at[slot], o_hbm[p].at[pl.ds(b * 8, 8)],
+                    out_sem.at[slot, p])
 
             in_dma(0, 0).start()
             args = (w1h_ref[:], w1l_ref[:], tr_ref[:], ti_ref[:],
@@ -230,43 +243,47 @@ def _make_manual_kernel(R, off):
             s = xig_ref[:] * invdt_ref[0, 0]
             nyq = invdt_ref[0, 1]          # constant stand-in scalar
 
-            def loop(r, _):
-                slot = r % 2
+            def loop(b, _):
+                slot = b % 2
 
-                @pl.when(r + 1 < NA)
+                @pl.when(b + 1 < NB8)
                 def _():
-                    in_dma((r + 1) % 2, r + 1).start()
+                    in_dma((b + 1) % 2, b + 1).start()
 
-                in_dma(slot, r).wait()
-                # the output buffers of this slot were last used by row
-                # r-2; their copies must land before we overwrite
-                @pl.when(r >= 2)
+                in_dma(slot, b).wait()
+                # the output buffers of this slot were last used by
+                # block b-2; their copies must land before we overwrite
+                @pl.when(b >= 2)
                 def _():
                     for p in range(4):
-                        out_dma(p, slot, r - 2).wait()
+                        out_dma(p, slot, b - 2).wait()
 
-                p = pw_buf[pl.ds(slot, 1)][0]
-                zr = p * xr_ref[0]
-                zi = p * xi_ref[0]
-                OW = pipeline(zr, zi, *args)
-                OD = pipeline(-zi * s, zr * s, *args)
-                vals = (OW[0] + nyq * alt, OW[1] + nyq * alt,
-                        OD[0] + nyq * alt, OD[1] + nyq * alt)
+                rows = ([], [], [], [])
+                for j in range(8):
+                    p8 = pw_buf[slot, j]
+                    zr = p8 * xr_ref[0]
+                    zi = p8 * xi_ref[0]
+                    OW = pipeline(zr, zi, *args)
+                    OD = pipeline(-zi * s, zr * s, *args)
+                    rows[0].append(OW[0] + nyq * alt)
+                    rows[1].append(OW[1] + nyq * alt)
+                    rows[2].append(OD[0] + nyq * alt)
+                    rows[3].append(OD[1] + nyq * alt)
                 for p_i in range(4):
-                    ob[p_i][pl.ds(slot, 1), :] = vals[p_i][None, :]
-                    out_dma(p_i, slot, r).start()
+                    ob[p_i][pl.ds(slot, 1)] = jnp.stack(rows[p_i])[None]
+                    out_dma(p_i, slot, b).start()
                 return 0
 
-            jax.lax.fori_loop(0, NA, loop, 0)
-            # drain the last two rows' output copies
-            for r in (NA - 2, NA - 1):
+            jax.lax.fori_loop(0, NB8, loop, 0)
+            # drain the last two blocks' output copies
+            for b in (NB8 - 2, NB8 - 1):
                 for p in range(4):
-                    out_dma(p, r % 2, r).wait()
+                    out_dma(p, b % 2, b).wait()
 
         pl.run_scoped(
             body,
-            pw_buf=pltpu.VMEM((2, K1, M2), jnp.float32),
-            ob=[pltpu.VMEM((2, L), jnp.float32) for _ in range(4)],
+            pw_buf=pltpu.VMEM((2, 8, K1, M2), jnp.float32),
+            ob=[pltpu.VMEM((2, 8, L), jnp.float32) for _ in range(4)],
             in_sem=pltpu.SemaphoreType.DMA((2,)),
             out_sem=pltpu.SemaphoreType.DMA((2, 4)),
         )
@@ -284,9 +301,13 @@ def run_manual(Pw, xr_g, xi_g, xig):
     (W1h, W1l), Tr, Ti, (W2h, W2l), alt = _fused_consts(M, r0, r1, 1)
     alt_keep = alt[start:start + length][None, :]
     kernel = _make_manual_kernel(R, off)
-    const = lambda shape: pl.BlockSpec(memory_space=pltpu.VMEM)
     scal = jnp.ones((1, 128), jnp.float32)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+    # 8-row block streaming needs NA8 rows (HBM tiling); the pad copy
+    # (~0.6 GB/s worth, ~1 ms) is counted against the variant — a
+    # production kernel would emit NA8 rows natively
+    Pw8 = jnp.concatenate(
+        [Pw, jnp.zeros((NA8 - NA, K1, M2), Pw.dtype)], axis=0)
     outs = pl.pallas_call(
         kernel,
         in_specs=[
@@ -299,11 +320,11 @@ def run_manual(Pw, xr_g, xi_g, xig):
         + [pl.BlockSpec(memory_space=pltpu.VMEM)],     # alt
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.HBM)
                         for _ in range(4)),
-        out_shape=tuple(jax.ShapeDtypeStruct((NA, L), jnp.float32)
+        out_shape=tuple(jax.ShapeDtypeStruct((NA8, L), jnp.float32)
                         for _ in range(4)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
-    )(Pw, xr_g[0], xi_g[0], xig, scal,
+    )(Pw8, xr_g[0], xi_g[0], xig, scal,
       *[jnp.asarray(w) for w in (W1h, W1l, Tr, Ti, W2h, W2l)],
       jnp.asarray(alt_keep))
     return sum(jnp.sum(o) for o in outs)
@@ -421,6 +442,8 @@ def main():
         # r5 VERDICT #1 set: the additivity-gap discriminators
         variants = ("full", "dmaonly", "overlap", "noout",
                     "ksplit2", "ksplit4", "manual")
+    if "--manual" in sys.argv:
+        variants = ("full", "dmaonly", "manual")
     for ab in variants:
         try:
             f = lambda i, ab=ab: run(Pw + jnp.float32(i) * 0, xr, xi, xig,
@@ -436,6 +459,9 @@ def main():
         except Exception as e:
             print(f"{ab:10s} FAILED: {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
+            if "--manual" in sys.argv:
+                import traceback
+                traceback.print_exc()
 
 
 if __name__ == "__main__":
