@@ -178,11 +178,14 @@ def main():
                      gamma=1e-3, dtype="float32")[0]
         return jnp.sum(jnp.abs(Tx))
 
+    # K=16 for EVERY cell (r5): at K=8 the ~12 ms relay round-trip
+    # leaks ~1.5 ms into each — the r4 stft/ssq_stft/tone cells carried
+    # exactly that vs the K=16 BENCH_TABLE methodology
     t_ssq_cwt = timed(ssq_fn, (x,), K=16)
     t_cwt = timed(cwt_fn, (x,), K=16)
-    t_stft = timed(stft_fn, (x,), K=8)
-    t_ssq_stft = timed(ssq_stft_fn, (x,), K=8)
-    t_ssq_tone = timed(ssq_tone_fn, (x_tone,), K=8)
+    t_stft = timed(stft_fn, (x,), K=16)
+    t_ssq_stft = timed(ssq_stft_fn, (x,), K=16)
+    t_ssq_tone = timed(ssq_tone_fn, (x_tone,), K=16)
 
     msps = N / t_ssq_cwt / 1e6
     extras = {

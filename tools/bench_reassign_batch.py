@@ -80,6 +80,63 @@ def main():
         Tx = call((wrf + i * 1e-30, wif, drf, dif))
         return jnp.sum(jnp.abs(Tx))
 
+    # grid3d: the SAME (B, na, n) layout and production kernel, but a
+    # flattened 1D grid of B*nT steps with 3D index maps instead of
+    # vmap's (B, nT) grid — discriminates "vmap batching machinery"
+    # from "batch-boundary streaming" as the +8% source, and is the
+    # candidate production fix (no relayout needed).
+    from functools import partial
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ssqueeze_rs_tpu.ops.reassign_pallas import _make_kernel
+
+    @partial(jax.jit, static_argnames=("nf",))
+    def grid3d(wr, wi, dr, di, i, nf=na):
+        # inputs PRE-PADDED to a TILE multiple: the kernel's ragged-tile
+        # mask reads pl.program_id(0) as the time-tile index, which a
+        # flattened (B*nT,) grid breaks for b >= 1 — tile-divisible
+        # n_valid never builds that mask (0.16% extra scatter work,
+        # conservative vs the other cells)
+        wr = wr + i * 1e-30
+        TILE = 512
+        n2 = wr.shape[-1]
+        assert n2 % TILE == 0
+        nT = n2 // TILE
+        kernel2 = _make_kernel("log", dict(params), 1e-8, True, "cwt",
+                               nf, na, TILE, n_valid=n2)
+
+        def kernel(*refs):
+            ins = [r.at[0] for r in refs[:4]]
+            cb, sb = refs[4], refs[5]
+            outs = [r.at[0] for r in refs[6:8]]
+            kernel2(*ins, cb, sb, *outs, *refs[8:])
+
+        constb = jnp.broadcast_to(const[:, None], (na, 1))
+        sfsb = jnp.broadcast_to(sfs[:, None], (na, 1))
+        bspec_in = pl.BlockSpec(
+            (1, na, TILE), lambda idx: (idx // nT, 0, idx % nT),
+            memory_space=pltpu.VMEM)
+        bspec_col = pl.BlockSpec((na, 1), lambda idx: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        bspec_out = pl.BlockSpec(
+            (1, nf, TILE), lambda idx: (idx // nT, 0, idx % nT),
+            memory_space=pltpu.VMEM)
+        outr, outi = pl.pallas_call(
+            kernel,
+            grid=(B * nT,),
+            in_specs=[bspec_in] * 4 + [bspec_col, bspec_col],
+            out_specs=(bspec_out, bspec_out),
+            out_shape=(jax.ShapeDtypeStruct((B, nf, n2), jnp.float32),
+                       jax.ShapeDtypeStruct((B, nf, n2), jnp.float32)),
+            scratch_shapes=[pltpu.VMEM((na, TILE), jnp.int32),
+                            pltpu.VMEM((na, TILE), jnp.float32),
+                            pltpu.VMEM((na, TILE), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(wr, wi, dr, di, constb, sfsb)
+        # same reduction as the vmapped cells (checksum-comparable)
+        return jnp.sum(jnp.sqrt(outr * outr + outi * outi))
+
     t_v = timed(vmapped, (wr, wi, dr, di), K=K)
     print(f"vmapped  {t_v*1e3:8.2f} ms  ({t_v/B*1e3:6.2f} /transform)",
           flush=True)
@@ -90,8 +147,39 @@ def main():
     print(f"flat_pre {t_fp*1e3:8.2f} ms  ({t_fp/B*1e3:6.2f} /transform)",
           flush=True)
 
-    t_f = timed(flat, (wr, wi, dr, di), K=K)
-    print(f"flat+T   {t_f*1e3:8.2f} ms  ({t_f/B*1e3:6.2f} /transform)",
+    try:
+        t_f = timed(flat, (wr, wi, dr, di), K=K)
+        print(f"flat+T   {t_f*1e3:8.2f} ms  ({t_f/B*1e3:6.2f} /transform)",
+              flush=True)
+    except Exception as e:   # RESOURCE_EXHAUSTED at B=8 (4x1.5 GB xposes)
+        print(f"flat+T   FAILED: {type(e).__name__}: {str(e)[:120]}",
+              flush=True)
+    del flats
+
+    # grid3d vs vmapped on the SAME tile-divisible padded arrays
+    # (maskless kernel on both sides — apples to apples)
+    TILE = 512
+    npad = -(-n // TILE) * TILE
+    pads = [jax.block_until_ready(
+        jnp.pad(z, ((0, 0), (0, 0), (0, npad - n))))
+        for z in (wr, wi, dr, di)]
+    del wr, wi, dr, di
+
+    @jax.jit
+    def vmapped_pad(wr, wi, dr, di, i):
+        Tx = call((wr + i * 1e-30, wi, dr, di))
+        return jnp.sum(jnp.abs(Tx))
+
+    c_vp = float(vmapped_pad(*pads, 0))
+    c_g = float(grid3d(*pads, 0))
+    print(f"checksums vmap_pad {c_vp:.8g} grid3d {c_g:.8g} "
+          f"(rel {abs(c_vp - c_g) / max(abs(c_vp), 1e-30):.1e})",
+          flush=True)
+    t_vp = timed(vmapped_pad, tuple(pads), K=K)
+    print(f"vmap_pad {t_vp*1e3:8.2f} ms  ({t_vp/B*1e3:6.2f} /transform)",
+          flush=True)
+    t_g = timed(grid3d, tuple(pads), K=K)
+    print(f"grid3d   {t_g*1e3:8.2f} ms  ({t_g/B*1e3:6.2f} /transform)",
           flush=True)
 
 

