@@ -124,11 +124,12 @@ def cwt_phase_fusable(M: int, wavelet: Wavelet, dtype, engines=None) -> bool:
 
 @partial(jax.jit, static_argnames=("wavelet", "derivative", "l1_norm", "N",
                                    "n1", "rpadded", "planar_out",
-                                   "engines", "fb_token", "phase_gamma"))
+                                   "engines", "fb_token", "phase_gamma",
+                                   "keep_align"))
 def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
              l1_norm: bool, N: int, n1: int, rpadded: bool,
              planar_out: bool = False, engines=None, fb_token=None,
-             phase_gamma=None):
+             phase_gamma=None, keep_align=None):
     """CWT of an already-padded signal. xp: (..., M); returns (..., na, N).
 
     `planar_out=True` (fused ssq_cwt path; requires the MXU half-band
@@ -142,6 +143,16 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
     w plane (+inf where |Wx| <= gamma) instead of the (dWxr, dWxi)
     pair. Caller must pre-gate with `cwt_phase_fusable`; honored only
     on the untiled fused cwt-mode path with derivative=True.
+
+    `keep_align` (r5, planar path only): round the kept width UP to a
+    multiple of this (clamped to the padded length), so planar_out
+    planes come back (na, L2) with L2 = ceil(N/keep_align)*keep_align.
+    The slack columns are real iFFT output of the padded signal's tail;
+    downstream column-local consumers (the reassignment scatter) then
+    see tile-divisible columns and skip their ragged-tile mask path
+    (~1.3 ms at the 160k headline, measured). planar_out=False slices
+    back to N before complexify (fused, free), so only the planes
+    contract changes.
     """
     M = xp.shape[-1]
     from .fft_mxu import (ifft_mxu_halfband, ifft_mxu_halfband_planar,
@@ -187,6 +198,8 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
                 pnyq[None, :]).reshape(b * na)
         zeros = jnp.zeros_like(znyq)
         keep = (0, M) if rpadded else (n1, N)
+        if keep_align and not rpadded:
+            keep = (n1, min(-(-N // keep_align) * keep_align, M - n1))
         from .fft_pallas import (ifft_halfband_planar_fused,
                                  cwt_halfband_fused, fused_ok)
         fused = engines[1] and fused_ok(M, 1)
@@ -256,6 +269,11 @@ def cwt_core(xp, scales, dt, *, wavelet: Wavelet, derivative: bool,
             planes_d = _WPlane(wpl.reshape(shp))
         if planar_out:
             return planes_w, planes_d
+        if L > N and not rpadded:
+            # keep_align slack: slice back to N pre-complexify (fuses)
+            planes_w = tuple(p[..., :N] for p in planes_w)
+            planes_d = (tuple(p[..., :N] for p in planes_d)
+                        if planes_d is not None else None)
         Wx = jax.lax.complex(*planes_w)
         dWx = jax.lax.complex(*planes_d) if derivative else None
         return (Wx, dWx) if derivative else (Wx, None)

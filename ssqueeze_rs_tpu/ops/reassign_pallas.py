@@ -807,7 +807,8 @@ def _planes(z, rdtype):
 
 
 def reassign_pallas(Wx, dWx, const_arr, gamma, Sfs, plan_params, *, mode,
-                    flipud, transform, nf, interpret=None, w_plane=None):
+                    flipud, transform, nf, interpret=None, w_plane=None,
+                    n_out=None):
     """Fused reassignment via the Pallas kernel.
 
     Wx/dWx: (..., na, n) complex arrays OR (real, imag) plane tuples —
@@ -818,6 +819,12 @@ def reassign_pallas(Wx, dWx, const_arr, gamma, Sfs, plan_params, *, mode,
     fused epilogue (fft_pallas phase_gamma mode; +inf where
     gamma-masked) — dWx is ignored (pass None) and the kernel reads 3
     planes instead of 4, saving one full HBM plane read.
+
+    `n_out` (r5): slice Tx to its first n_out columns, fused into the
+    output complexify (free). Used with keep_align'd planes: inputs
+    carry tile-alignment slack columns so the kernel skips its
+    ragged-tile mask, and the scatter being column-local means the
+    slack can only ever land in the sliced-off columns.
 
     `plan_params`: dict of host floats (vlmin/dvl/... per `mode`).
     Falls back to interpreter mode off-TPU (CPU tests).
@@ -859,5 +866,8 @@ def reassign_pallas(Wx, dWx, const_arr, gamma, Sfs, plan_params, *, mode,
     else:
         txr, txi = jax.vmap(
             lambda a, b, c, d: f(a, b, c, d, const_arr, Sfs))(wr, wi, dr, di)
+    if n_out is not None and n_out != n:
+        txr, txi = txr[..., :n_out], txi[..., :n_out]
+        n = n_out
     Tx = jax.lax.complex(txr, txi).astype(out_cdtype)
     return Tx.reshape(batch_shape + (nf, n))

@@ -60,7 +60,7 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
     """
     difforder = check_ssqueezing_args(squeezing, maprange, wavelet, difftype,
                                       difforder, get_w, transform="cwt")
-    planes_w = planes_d = w_plane_arr = None
+    planes_w = planes_d = w_plane_arr = dwx_kernel = None
     x = jnp.asarray(x)
     N = x.shape[-1]
     dt, fs, _ = process_fs_and_t(fs, t, N)
@@ -138,17 +138,28 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
                                       engines)):
                 phase_gamma = float(gamma if gamma is not None
                                     else 10 * EPS32)
+            # keep_align=512 (r5): planes come back (na, L2) with L2 the
+            # next 512-multiple >= N, so the reassignment kernel's
+            # columns are tile-divisible and its ragged-tile mask path
+            # never builds (~1.3 ms at the headline shape). Column-local
+            # scatter => slack columns only ever scatter into slack
+            # output columns, which n_out slicing drops; everything the
+            # user sees is sliced to N at a fused complexify.
             planes_w, planes_d = cwt_core(
                 xp_, sc, jnp.asarray(dt, xx.dtype), wavelet=wavelet,
                 derivative=True, l1_norm=True, N=N, n1=n1_, rpadded=False,
                 planar_out=True, engines=engines,
-                fb_token=fb_token, phase_gamma=phase_gamma)
-            Wx = jax.lax.complex(*planes_w)
+                fb_token=fb_token, phase_gamma=phase_gamma, keep_align=512)
+            Wx = jax.lax.complex(planes_w[0][..., :N],
+                                 planes_w[1][..., :N])
             if isinstance(planes_d, _WPlane):
                 w_plane_arr = planes_d.w
                 dWx = planes_d = None
             else:
-                dWx = (jax.lax.complex(*planes_d) if get_dWx else planes_d)
+                dwx_kernel = planes_d       # full-width planes tuple
+                dWx = (jax.lax.complex(planes_d[0][..., :N],
+                                       planes_d[1][..., :N])
+                       if get_dWx else None)
         else:
             Wx, scales_out, dWx = cwt(x, wavelet, scales=scales, fs=fs,
                                       nv=nv, l1_norm=True, derivative=True,
@@ -183,7 +194,9 @@ def ssq_cwt(x, wavelet="gmw", scales="log-piecewise", nv=None, fs=None,
         _dWx = None
     else:
         w = None
-        _dWx = dWx
+        # kernel input: full-width planes tuple when the planar path
+        # produced one (keep_align slack); user-facing dWx stays N-wide
+        _dWx = dwx_kernel if dwx_kernel is not None else dWx
 
     if ssq_freqs is None:
         ssq_freqs = cwt_scaletype

@@ -378,6 +378,7 @@ def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
     fused = w is None
 
     from ..config import use_pallas_kernels
+    n_cols = Wx.shape[-1]
     if fused and use_pallas_kernels():
         from .reassign_pallas import reassign_pallas
         wx_in = (wx_planes if (wx_planes is not None and squeezing == "sum")
@@ -386,11 +387,17 @@ def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
             dwx_in = None
         else:
             dwx_in = dWx if isinstance(dWx, tuple) else jnp.asarray(dWx)
+        # keep_align slack (r5): planes may carry extra tile-alignment
+        # columns past the signal; n_out slices Tx back (fused into the
+        # kernel-output complexify — free, and column-local scatter
+        # means the slack never touches columns < n_out)
+        wx_w = (wx_in[0] if isinstance(wx_in, tuple) else wx_in).shape[-1]
         Tx = reassign_pallas(wx_in, dwx_in,
                              jnp.asarray(const_arr, rdtype),
                              float(gamma), Sfs_arr, params_host, mode=mode,
                              flipud=flipud, transform=transform,
-                             nf=len(ssq_freqs), w_plane=w_plane)
+                             nf=len(ssq_freqs), w_plane=w_plane,
+                             n_out=(n_cols if wx_w != n_cols else None))
     else:
         params = {k: (jnp.asarray(v) if k != "idx1" else
                       jnp.asarray(v, jnp.int32))
@@ -398,10 +405,11 @@ def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
         if w_plane is not None:
             # precomputed-w plane degrades cleanly to the two-step XLA
             # path: reassign(fused=False) masks on isinf(w) — exactly
-            # the w_plane contract
-            w, fused = w_plane, False
+            # the w_plane contract (sliced: may carry keep_align slack)
+            w, fused = w_plane[..., :n_cols], False
         if isinstance(dWx, tuple):
-            dWx = jax.lax.complex(*dWx).astype(Wx.dtype)
+            dWx = jax.lax.complex(dWx[0][..., :n_cols],
+                                  dWx[1][..., :n_cols]).astype(Wx.dtype)
         w_or_dWx = dWx if fused else w
         gamma_val = jnp.asarray(gamma if gamma is not None else 0.0,
                                 dtype=rdtype)

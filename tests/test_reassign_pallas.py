@@ -376,3 +376,47 @@ def test_grouped_accumulate_matches_ungrouped(monkeypatch, G):
     monkeypatch.delenv("SSQ_TPU_REASSIGN_GROUP")
     monkeypatch.delenv("SSQ_TPU_REASSIGN_BAND")
     jax.clear_caches()
+
+
+def test_n_out_slices_tile_alignment_slack():
+    """n_out (r5 keep_align contract): inputs carry tile-alignment slack
+    columns; the scatter is column-local, so Tx[:, :n_out] must be
+    BITWISE-equal to reassigning the sliced inputs directly, and the
+    slack columns must never leak in."""
+    import jax
+    import jax.numpy as jnp
+    from ssqueeze_rs_tpu.ops.reassign_pallas import reassign_pallas
+
+    rng = np.random.default_rng(3)
+    na = nf = 40
+    n_out, slack = 1000, 24
+    n2 = n_out + slack
+    params = dict(vlmin=-7.0, dvl=0.05)
+    const_j = jnp.ones((na,), jnp.float32)
+    Sfs = jnp.zeros((na,), jnp.float32)
+    Wx = (rng.standard_normal((na, n2)) +
+          1j * rng.standard_normal((na, n2)))
+    dWx = (rng.standard_normal((na, n2)) +
+           1j * rng.standard_normal((na, n2)))
+    kw = dict(mode="log", flipud=True, transform="cwt", nf=nf,
+              interpret=True)
+
+    full = np.asarray(reassign_pallas(
+        jnp.asarray(Wx), jnp.asarray(dWx), const_j, 1e-8, Sfs, params,
+        n_out=n_out, **kw))
+    assert full.shape == (nf, n_out)
+    ref = np.asarray(reassign_pallas(
+        jnp.asarray(Wx[:, :n_out]), jnp.asarray(dWx[:, :n_out]), const_j,
+        1e-8, Sfs, params, **kw))
+    assert np.array_equal(full, ref), np.abs(full - ref).max()
+
+    # batched route too
+    Wb = np.stack([Wx, 2 * Wx])
+    dWb = np.stack([dWx, dWx])
+    fb = np.asarray(reassign_pallas(
+        jnp.asarray(Wb), jnp.asarray(dWb), const_j, 1e-8, Sfs, params,
+        n_out=n_out, **kw))
+    rb = np.asarray(reassign_pallas(
+        jnp.asarray(Wb[..., :n_out]), jnp.asarray(dWb[..., :n_out]),
+        const_j, 1e-8, Sfs, params, **kw))
+    assert fb.shape == (2, nf, n_out) and np.array_equal(fb, rb)

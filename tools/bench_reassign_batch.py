@@ -90,20 +90,28 @@ def main():
     from jax.experimental.pallas import tpu as pltpu
     from ssqueeze_rs_tpu.ops.reassign_pallas import _make_kernel
 
+    na8 = -(-na // 8) * 8
+
     @partial(jax.jit, static_argnames=("nf",))
-    def grid3d(wr, wi, dr, di, i, nf=na):
-        # inputs PRE-PADDED to a TILE multiple: the kernel's ragged-tile
-        # mask reads pl.program_id(0) as the time-tile index, which a
-        # flattened (B*nT,) grid breaks for b >= 1 — tile-divisible
-        # n_valid never builds that mask (0.16% extra scatter work,
-        # conservative vs the other cells)
+    def grid3d(wr, wi, dr, di, i, nf=None):
+        # inputs PRE-PADDED on BOTH trailing dims: (a) tile-divisible
+        # columns — the kernel's ragged-tile mask reads
+        # pl.program_id(0) as the time-tile index, which a flattened
+        # (B*nT,) grid breaks for b >= 1; (b) 8-aligned na — a
+        # (1, 293, T) block view of the sublane-padded (1, 296, T)
+        # VMEM memref is an illegal 293-slice, so rows pad to na8 with
+        # zeros (gamma-masked, contribute nothing; bins shift by
+        # na8-na under flipud so the vmap cross-checksum is
+        # approximate). +1% rows +0.16% cols of extra work vs the
+        # vmapped cell — conservative.
         wr = wr + i * 1e-30
+        nf = na8 if nf is None else nf
         TILE = 512
         n2 = wr.shape[-1]
-        assert n2 % TILE == 0
+        assert n2 % TILE == 0 and wr.shape[-2] == na8
         nT = n2 // TILE
         kernel2 = _make_kernel("log", dict(params), 1e-8, True, "cwt",
-                               nf, na, TILE, n_valid=n2)
+                               nf, na8, TILE, n_valid=n2)
 
         def kernel(*refs):
             ins = [r.at[0] for r in refs[:4]]
@@ -111,12 +119,14 @@ def main():
             outs = [r.at[0] for r in refs[6:8]]
             kernel2(*ins, cb, sb, *outs, *refs[8:])
 
-        constb = jnp.broadcast_to(const[:, None], (na, 1))
-        sfsb = jnp.broadcast_to(sfs[:, None], (na, 1))
+        constb = jnp.broadcast_to(
+            jnp.pad(const, (0, na8 - na))[:, None], (na8, 1))
+        sfsb = jnp.broadcast_to(
+            jnp.pad(sfs, (0, na8 - na))[:, None], (na8, 1))
         bspec_in = pl.BlockSpec(
-            (1, na, TILE), lambda idx: (idx // nT, 0, idx % nT),
+            (1, na8, TILE), lambda idx: (idx // nT, 0, idx % nT),
             memory_space=pltpu.VMEM)
-        bspec_col = pl.BlockSpec((na, 1), lambda idx: (0, 0),
+        bspec_col = pl.BlockSpec((na8, 1), lambda idx: (0, 0),
                                  memory_space=pltpu.VMEM)
         bspec_out = pl.BlockSpec(
             (1, nf, TILE), lambda idx: (idx // nT, 0, idx % nT),
@@ -128,9 +138,9 @@ def main():
             out_specs=(bspec_out, bspec_out),
             out_shape=(jax.ShapeDtypeStruct((B, nf, n2), jnp.float32),
                        jax.ShapeDtypeStruct((B, nf, n2), jnp.float32)),
-            scratch_shapes=[pltpu.VMEM((na, TILE), jnp.int32),
-                            pltpu.VMEM((na, TILE), jnp.float32),
-                            pltpu.VMEM((na, TILE), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((na8, TILE), jnp.int32),
+                            pltpu.VMEM((na8, TILE), jnp.float32),
+                            pltpu.VMEM((na8, TILE), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
         )(wr, wi, dr, di, constb, sfsb)
@@ -156,18 +166,23 @@ def main():
               flush=True)
     del flats
 
-    # grid3d vs vmapped on the SAME tile-divisible padded arrays
-    # (maskless kernel on both sides — apples to apples)
+    # grid3d vs vmapped on the SAME padded arrays (tile-divisible cols
+    # + 8-aligned rows; maskless kernel on both sides)
     TILE = 512
     npad = -(-n // TILE) * TILE
     pads = [jax.block_until_ready(
-        jnp.pad(z, ((0, 0), (0, 0), (0, npad - n))))
+        jnp.pad(z, ((0, 0), (0, na8 - na), (0, npad - n))))
         for z in (wr, wi, dr, di)]
     del wr, wi, dr, di
 
+    const8 = jnp.pad(const, (0, na8 - na))
+    sfs8 = jnp.pad(sfs, (0, na8 - na))
+
     @jax.jit
     def vmapped_pad(wr, wi, dr, di, i):
-        Tx = call((wr + i * 1e-30, wi, dr, di))
+        Tx = reassign_pallas((wr + i * 1e-30, wi), (dr, di), const8,
+                             1e-8, sfs8, params, mode="log", flipud=True,
+                             transform="cwt", nf=na)
         return jnp.sum(jnp.abs(Tx))
 
     c_vp = float(vmapped_pad(*pads, 0))

@@ -46,11 +46,15 @@ def main():
     from ssqueeze_rs_tpu.scales import process_scales
     from ssqueeze_rs_tpu.utils.pad import padsignal, p2up
 
-    args_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    B = 1
+    if "--batch" in argv:
+        bi = argv.index("--batch")
+        B = int(argv[bi + 1])
+        argv = argv[:bi] + argv[bi + 2:]   # drop the flag AND its value
+    args_pos = [a for a in argv if not a.startswith("--")]
     N = int(args_pos[0]) if len(args_pos) > 0 else 160000
     n_rows = int(args_pos[1]) if len(args_pos) > 1 else 300
-    B = (int(sys.argv[sys.argv.index("--batch") + 1])
-         if "--batch" in sys.argv else 1)
     # generate on device (a (B, N) f32 upload can exceed the relay's
     # comfortable transfer size at B >= 8)
     x = jax.jit(lambda k: jax.random.normal(
